@@ -1,0 +1,10 @@
+from .voxel_hash import (  # noqa: F401
+    VoxelMapConfig,
+    VoxelMap,
+    make_map,
+    insert,
+    query_planes,
+    query_planes_merged,
+    evict_far,
+    occupied_centroids,
+)

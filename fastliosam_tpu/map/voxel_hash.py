@@ -1,0 +1,314 @@
+"""Device-resident incremental voxel-surfel hash map.
+
+The TPU-native replacement for the reference's ikd-Tree map inside FAST-LIO2
+(SURVEY.md §3.6) and for PCL KdTreeFLANN radius searches
+(`fast_lio_sam.cpp:280,616,652,958`). Instead of a mutable tree with kNN
+queries, the map is an open-addressing hash table of voxels, each voxel
+accumulating Gaussian surfel statistics (count, first and second moments
+relative to the voxel center). Point-to-plane matching reads a per-voxel
+cached plane (normal, offset) — the analog of FAST-LIO's 5-NN plane fit —
+or fits a plane on the fly from moments merged over a face-neighbor stencil.
+
+Everything is static-shape, batched, and in-place-updatable under ``jit``
+with donated buffers:
+
+  * insert: parallel find-or-allocate probing (claim races resolved with a
+    scatter-max tournament), then masked scatter-adds of the moments and a
+    refresh of the cached planes for touched voxels only.
+  * query: parallel probing + gather; no trees, no host sync.
+  * eviction: vectorized clear of voxels outside ``det_range`` of the pose
+    (the ``cube_side_length`` / FoV-sliding semantics of FAST-LIO).
+
+Moments are stored relative to each voxel's center so float32 never suffers
+catastrophic cancellation at large world coordinates.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..core.eigh3 import smallest_eigvec3
+
+_P1, _P2, _P3 = 73856093, 19349669, 83492791
+
+
+class VoxelMapConfig(NamedTuple):
+    capacity: int = 1 << 19  # hash slots (power of two)
+    voxel_size: float = 0.5  # FAST-LIO ``filter_size_map`` analog
+    insert_probes: int = 16  # probe rounds during insert
+    query_probes: int = 8  # probe rounds during query
+    min_points: int = 5  # NUM_MATCH_POINTS analog for a valid plane
+    plane_var_thresh: float = 0.01  # max variance along normal (0.1 m sigma)
+    max_points_per_voxel: float = 1000.0  # moment saturation cap
+
+
+class VoxelMap(NamedTuple):
+    """SoA hash table. All arrays have leading dim = capacity."""
+
+    occupied: jnp.ndarray  # (C,) int32 0/1
+    coords: jnp.ndarray  # (C, 3) int32 voxel integer coords (0 when empty)
+    count: jnp.ndarray  # (C,) float32 number of accumulated points
+    psum: jnp.ndarray  # (C, 3) float32 sum of (p - center)
+    pouter: jnp.ndarray  # (C, 6) float32 sum of outer (xx,xy,xz,yy,yz,zz)
+    normal: jnp.ndarray  # (C, 3) float32 cached plane normal
+    d: jnp.ndarray  # (C,) float32 cached plane offset: n·x + d = 0
+    plane_valid: jnp.ndarray  # (C,) int32 0/1
+
+
+def make_map(cfg: VoxelMapConfig) -> VoxelMap:
+    c = cfg.capacity
+    assert c & (c - 1) == 0, "capacity must be a power of two"
+    return VoxelMap(
+        occupied=jnp.zeros((c,), jnp.int32),
+        coords=jnp.zeros((c, 3), jnp.int32),
+        count=jnp.zeros((c,), jnp.float32),
+        psum=jnp.zeros((c, 3), jnp.float32),
+        pouter=jnp.zeros((c, 6), jnp.float32),
+        normal=jnp.zeros((c, 3), jnp.float32),
+        d=jnp.zeros((c,), jnp.float32),
+        plane_valid=jnp.zeros((c,), jnp.int32),
+    )
+
+
+def _voxel_coords(xyz, voxel_size):
+    return jnp.floor(xyz / voxel_size).astype(jnp.int32)
+
+
+def _hash(coords, capacity):
+    h = (coords[..., 0] * _P1) ^ (coords[..., 1] * _P2) ^ (coords[..., 2] * _P3)
+    return h & (capacity - 1)
+
+
+def _voxel_center(coords, voxel_size):
+    return (coords.astype(jnp.float32) + 0.5) * voxel_size
+
+
+def _outer6(v):
+    """Upper-triangle outer product packing (..., 3) -> (..., 6)."""
+    x, y, z = v[..., 0], v[..., 1], v[..., 2]
+    return jnp.stack([x * x, x * y, x * z, y * y, y * z, z * z], axis=-1)
+
+
+def _unpack_sym(m6):
+    """(..., 6) -> (..., 3, 3) symmetric."""
+    xx, xy, xz, yy, yz, zz = (m6[..., i] for i in range(6))
+    return jnp.stack(
+        [
+            jnp.stack([xx, xy, xz], axis=-1),
+            jnp.stack([xy, yy, yz], axis=-1),
+            jnp.stack([xz, yz, zz], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def _find_slots(m: VoxelMap, cfg: VoxelMapConfig, coords, mask):
+    """Probe for existing slots only (query path). Returns (slots, found)."""
+    cap = cfg.capacity
+    h0 = _hash(coords, cap)
+    slots = jnp.full(coords.shape[:-1], -1, jnp.int32)
+    for p in range(cfg.query_probes):
+        cand = (h0 + p) & (cap - 1)
+        occ = m.occupied[cand] > 0
+        match = occ & jnp.all(m.coords[cand] == coords, axis=-1)
+        slots = jnp.where((slots < 0) & match & mask, cand, slots)
+    return slots, slots >= 0
+
+
+def insert(m: VoxelMap, cfg: VoxelMapConfig, xyz, mask):
+    """Insert a (masked) batch of world-frame points.
+
+    Returns ``(map, n_dropped)`` where ``n_dropped`` counts points that
+    exhausted all probe rounds (hash table too full / pathological
+    clustering) and were skipped.
+    """
+    cap = cfg.capacity
+    coords = _voxel_coords(xyz, cfg.voxel_size)
+    h0 = _hash(coords, cap)
+    n = xyz.shape[0]
+    pid = jnp.arange(n, dtype=jnp.int32)
+
+    occupied = m.occupied
+    tbl_coords = m.coords
+
+    # Phase 1: scan the full probe window for an existing entry. (Scanning
+    # before claiming is required for correctness: eviction punches holes in
+    # probe chains, and claiming the first hole while the voxel exists deeper
+    # in the chain would create duplicate entries.)
+    slots = jnp.full((n,), -1, jnp.int32)
+    for p in range(cfg.insert_probes):
+        cand = (h0 + p) & (cap - 1)
+        occ = occupied[cand] > 0
+        match = occ & jnp.all(tbl_coords[cand] == coords, axis=-1)
+        slots = jnp.where((slots < 0) & mask & match, cand, slots)
+
+    # Phase 2: unmatched points claim the first empty slot in their window.
+    # Claim races are resolved with a scatter-max tournament; same-voxel
+    # losers match the winner's committed entry on the re-check.
+    poff = jnp.zeros((n,), jnp.int32)
+    for _ in range(cfg.insert_probes):
+        cand = (h0 + poff) & (cap - 1)
+        unassigned = (slots < 0) & mask
+        occ = occupied[cand] > 0
+        tryclaim = unassigned & ~occ
+        claim = jnp.zeros((cap,), jnp.int32).at[cand].max(
+            jnp.where(tryclaim, pid + 1, 0), mode="drop"
+        )
+        won = tryclaim & (claim[cand] == pid + 1)
+        # commit winners; empty slots hold coords == 0 so scatter-add writes
+        # exactly the winner's coords
+        occupied = occupied.at[cand].max(won.astype(jnp.int32), mode="drop")
+        tbl_coords = tbl_coords.at[cand].add(
+            coords * won[:, None].astype(jnp.int32), mode="drop"
+        )
+        # re-check after commits: winners and same-voxel losers both match now
+        occ2 = occupied[cand] > 0
+        match2 = occ2 & jnp.all(tbl_coords[cand] == coords, axis=-1)
+        slots = jnp.where((slots < 0) & mask & match2, cand, slots)
+        # true collisions advance to the next probe offset
+        poff = jnp.where((slots < 0) & mask & occ2 & ~match2, poff + 1, poff)
+
+    assigned = (slots >= 0) & mask
+    n_dropped = jnp.sum(mask & ~assigned, dtype=jnp.int32)
+    sl = jnp.where(assigned, slots, cap)  # out-of-bounds -> dropped scatter
+
+    # moment saturation: stop accumulating once a voxel is very full so
+    # float32 sums stay accurate and stale geometry can't dominate forever
+    room = m.count[jnp.clip(sl, 0, cap - 1)] < cfg.max_points_per_voxel
+    w = (assigned & room).astype(jnp.float32)
+
+    rel = xyz - _voxel_center(coords, cfg.voxel_size)
+    count = m.count.at[sl].add(w, mode="drop")
+    psum = m.psum.at[sl].add(rel * w[:, None], mode="drop")
+    pouter = m.pouter.at[sl].add(_outer6(rel) * w[:, None], mode="drop")
+
+    m = m._replace(
+        occupied=occupied, coords=tbl_coords, count=count, psum=psum, pouter=pouter
+    )
+
+    # refresh cached planes for touched slots (duplicates write identical
+    # values, so the scatter is deterministic)
+    nrm, dd, pv = _fit_planes(m, cfg, sl)
+    m = m._replace(
+        normal=m.normal.at[sl].set(nrm, mode="drop"),
+        d=m.d.at[sl].set(dd, mode="drop"),
+        plane_valid=m.plane_valid.at[sl].set(pv, mode="drop"),
+    )
+    return m, n_dropped
+
+
+def _fit_planes(m: VoxelMap, cfg: VoxelMapConfig, slots):
+    """Fit planes from the moments stored at ``slots`` (clipped gather)."""
+    sl = jnp.clip(slots, 0, cfg.capacity - 1)
+    c = m.count[sl]
+    safe_c = jnp.maximum(c, 1.0)
+    mean_rel = m.psum[sl] / safe_c[:, None]
+    cov = _unpack_sym(m.pouter[sl]) / safe_c[:, None, None] - (
+        mean_rel[:, :, None] * mean_rel[:, None, :]
+    )
+    normal, lam = smallest_eigvec3(cov)
+    center = _voxel_center(m.coords[sl], cfg.voxel_size)
+    mean_world = center + mean_rel
+    d = -jnp.sum(normal * mean_world, axis=-1)
+    valid = (c >= cfg.min_points) & (lam[..., 0] < cfg.plane_var_thresh)
+    return normal, d, valid.astype(jnp.int32)
+
+
+def query_planes(m: VoxelMap, cfg: VoxelMapConfig, xyz, mask):
+    """Per-point cached plane lookup in the point's own voxel.
+
+    Returns ``(normal (N,3), d (N,), valid (N,) bool)``. The fast path of
+    point-to-plane matching (FAST-LIO 5-NN plane fit analog).
+    """
+    coords = _voxel_coords(xyz, cfg.voxel_size)
+    slots, found = _find_slots(m, cfg, coords, mask)
+    sl = jnp.clip(slots, 0, cfg.capacity - 1)
+    normal = m.normal[sl]
+    d = m.d[sl]
+    valid = found & (m.plane_valid[sl] > 0) & mask
+    return normal, d, valid
+
+
+_STENCIL7 = jnp.array(
+    [[0, 0, 0], [1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]],
+    dtype=jnp.int32,
+)
+
+
+def query_planes_merged(m: VoxelMap, cfg: VoxelMapConfig, xyz, mask):
+    """Plane fit from moments merged over the 7-voxel face stencil.
+
+    Closer to the reference's kNN behavior at voxel boundaries: moments of
+    the center voxel and its six face neighbors are re-referenced to the
+    center voxel's frame and combined, then a single plane is fit per query
+    point. More FLOPs than :func:`query_planes` but far more robust for
+    sparse/boundary geometry.
+    """
+    coords0 = _voxel_coords(xyz, cfg.voxel_size)
+    n = xyz.shape[0]
+    c0 = _voxel_center(coords0, cfg.voxel_size)
+
+    tot_c = jnp.zeros((n,), jnp.float32)
+    tot_s = jnp.zeros((n, 3), jnp.float32)
+    tot_o = jnp.zeros((n, 3, 3), jnp.float32)
+    for k in range(7):
+        coords = coords0 + _STENCIL7[k]
+        slots, found = _find_slots(m, cfg, coords, mask)
+        sl = jnp.clip(slots, 0, cfg.capacity - 1)
+        w = found.astype(jnp.float32)
+        ci = m.count[sl] * w
+        si = m.psum[sl] * w[:, None]
+        oi = _unpack_sym(m.pouter[sl]) * w[:, None, None]
+        # shift moments from neighbor center c_i to the query voxel center c0
+        dc = _voxel_center(coords, cfg.voxel_size) - c0
+        tot_c = tot_c + ci
+        tot_s = tot_s + si + ci[:, None] * dc
+        cross = si[:, :, None] * dc[:, None, :]
+        tot_o = (
+            tot_o
+            + oi
+            + cross
+            + jnp.swapaxes(cross, -1, -2)
+            + ci[:, None, None] * (dc[:, :, None] * dc[:, None, :])
+        )
+
+    safe_c = jnp.maximum(tot_c, 1.0)
+    mean = tot_s / safe_c[:, None]
+    cov = tot_o / safe_c[:, None, None] - mean[:, :, None] * mean[:, None, :]
+    normal, lam = smallest_eigvec3(cov)
+    mean_world = c0 + mean
+    d = -jnp.sum(normal * mean_world, axis=-1)
+    valid = mask & (tot_c >= cfg.min_points) & (lam[..., 0] < cfg.plane_var_thresh)
+    return normal, d, valid
+
+
+def evict_far(m: VoxelMap, cfg: VoxelMapConfig, center_xyz, det_range):
+    """Clear voxels farther than ``det_range`` from ``center_xyz`` (FoV
+    sliding, FAST-LIO ``det_range``/``cube_side_length`` semantics)."""
+    centers = _voxel_center(m.coords, cfg.voxel_size)
+    dist2 = jnp.sum((centers - center_xyz) ** 2, axis=-1)
+    keep = (m.occupied > 0) & (dist2 < det_range * det_range)
+    keepf = keep.astype(jnp.float32)
+    keepi = keep.astype(jnp.int32)
+    return m._replace(
+        occupied=keepi,
+        coords=m.coords * keepi[:, None],
+        count=m.count * keepf,
+        psum=m.psum * keepf[:, None],
+        pouter=m.pouter * keepf[:, None],
+        normal=m.normal * keepf[:, None],
+        d=m.d * keepf,
+        plane_valid=m.plane_valid * keepi,
+    )
+
+
+def occupied_centroids(m: VoxelMap, cfg: VoxelMapConfig):
+    """Per-voxel mean points (world frame) + occupancy mask — a compact map
+    snapshot for visualization/export."""
+    safe_c = jnp.maximum(m.count, 1.0)
+    mean_rel = m.psum / safe_c[:, None]
+    centers = _voxel_center(m.coords, cfg.voxel_size)
+    pts = centers + mean_rel
+    occ = m.occupied > 0
+    return jnp.where(occ[:, None], pts, 1.0e6), occ
