@@ -1,0 +1,75 @@
+"""Iterated error-state Kalman update with point-to-plane map matching.
+
+The TPU-native heart of the FAST-LIO2 capability (SURVEY.md §3.6): each
+iteration transforms the (downsampled, deskewed) scan into the world frame,
+queries per-point planes from the voxel-surfel map, forms the stacked
+point-to-plane residual and its sparse Jacobian, and solves the 18-dim MAP
+system. Because each residual row only touches the 6 pose columns, the
+Gram matrix is accumulated as a (N,6)ᵀ(N,6) matmul — MXU-friendly — and
+embedded into the 18x18 system.
+
+Math (right-perturbation ESKF):
+  residual   r_j = n_jᵀ (R p_j + t) + d_j
+  d r_j/dδθ  = -n_jᵀ R [p_j]_x  =  (p_j × (Rᵀ n_j))ᵀ
+  d r_j/dδp  = n_jᵀ
+  MAP step: (Hᵀ R⁻¹ H + P⁻¹) dx = -(Hᵀ R⁻¹ r + P⁻¹ (x ⊟ x_prop))
+Iterated ``max_iteration`` times (reference contract `kitti.launch:8`),
+then P ← (Hᵀ R⁻¹ H + P⁻¹)⁻¹.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..map import voxel_hash as vh
+from .state import NavState, OdomConfig, boxplus, boxminus
+
+
+def _match_planes(x, pts_body, mask, vmap, map_cfg, cfg: OdomConfig):
+    pw = pts_body @ x.R.T + x.p
+    if cfg.query_mode == "merged":
+        n, d, valid = vh.query_planes_merged(vmap, map_cfg, pw, mask)
+    else:
+        n, d, valid = vh.query_planes(vmap, map_cfg, pw, mask)
+    r = jnp.sum(n * pw, axis=-1) + d
+    valid = valid & (jnp.abs(r) < cfg.max_residual)
+    return n, r, valid
+
+
+def iekf_update(
+    x_prop: NavState,
+    pts_body,
+    mask,
+    vmap: vh.VoxelMap,
+    map_cfg: vh.VoxelMapConfig,
+    cfg: OdomConfig,
+):
+    """Iterated MAP update. Returns ``(state, n_matched)``."""
+    P_inv = jnp.linalg.inv(x_prop.P)
+    x = x_prop
+    n_matched = jnp.zeros((), jnp.int32)
+    inv_R = 1.0 / cfg.point_cov
+
+    S = None
+    for _ in range(cfg.max_iteration):
+        n, r, valid = _match_planes(x, pts_body, mask, vmap, map_cfg, cfg)
+        w = valid.astype(jnp.float32) * inv_R
+        n_matched = jnp.sum(valid.astype(jnp.int32))
+        # sparse Jacobian rows: A = [dr/dδθ, dr/dδp]  (N, 6)
+        v = n @ x.R  # Rᵀ n per point
+        jtheta = jnp.cross(pts_body, v)
+        A = jnp.concatenate([jtheta, n], axis=-1)
+        Aw = A * w[:, None]
+        G = A.T @ Aw  # (6, 6) Gram — MXU matmul over the point axis
+        b6 = Aw.T @ r  # (6,)
+        HtRH = jnp.zeros((18, 18), jnp.float32).at[:6, :6].set(G)
+        Htr = jnp.zeros((18,), jnp.float32).at[:6].set(b6)
+        dxi = boxminus(x, x_prop)
+        S = HtRH + P_inv
+        rhs = -(Htr + P_inv @ dxi)
+        dx = jnp.linalg.solve(S, rhs)
+        x = boxplus(x, dx)
+
+    # posterior covariance from the final linearization
+    P_new = jnp.linalg.inv(S)
+    P_new = 0.5 * (P_new + P_new.T)
+    return x._replace(P=P_new), n_matched

@@ -1,0 +1,116 @@
+"""IMU forward propagation and back-propagation motion compensation (deskew).
+
+TPU-native equivalent of FAST-LIO2's IMU processing (SURVEY.md §3.6): a
+`lax.scan` over a fixed-capacity masked IMU batch propagates the nav state
+and 18x18 covariance; the recorded intermediate poses deskew each LiDAR
+point into the scan-end body frame via vectorized interval lookup
+(`searchsorted`) — no per-point host loops.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import so3
+from .state import NavState, OdomConfig
+
+
+class ImuBatch(NamedTuple):
+    """Fixed-capacity IMU samples covering one scan interval.
+
+    ``stamps`` are seconds relative to the previous scan end, ascending;
+    masked-out lanes must be at the tail.
+    """
+
+    stamps: jnp.ndarray  # (M,)
+    gyro: jnp.ndarray  # (M, 3) rad/s
+    acc: jnp.ndarray  # (M, 3) m/s^2 (specific force)
+    mask: jnp.ndarray  # (M,)
+
+
+def propagate(x: NavState, imu: ImuBatch, cfg: OdomConfig, scan_dt):
+    """Propagate state+covariance through the IMU batch up to ``scan_dt``.
+
+    Returns ``(state_at_scan_end, traj)`` where ``traj`` holds the
+    intermediate states at each IMU stamp for deskewing:
+    ``(R (M,3,3), p (M,3), v (M,3), w (M,3), a_w (M,3), t (M,))``.
+    """
+    # integration interval for sample i: [t_i, t_{i+1}); the last *valid*
+    # sample integrates up to scan_dt (padded lanes contribute dt = 0)
+    next_valid = jnp.concatenate([imu.mask[1:], jnp.zeros((1,), bool)])
+    t_next = jnp.concatenate(
+        [imu.stamps[1:], jnp.zeros((1,), imu.stamps.dtype)]
+    )
+    t_next = jnp.where(next_valid, t_next, scan_dt)
+    dts = jnp.where(
+        imu.mask, jnp.clip(t_next - imu.stamps, 0.0, 1.0), 0.0
+    )
+
+    def step(carry, inp):
+        R, p, v, P = carry
+        gyro, acc, dt = inp
+        w = gyro - x.bg
+        a = acc - x.ba
+        a_w = R @ a + x.g  # world-frame acceleration
+        # record state at the *start* of this interval (== sample stamp)
+        out = (R, p, v, w, a_w)
+        dR = so3.exp(w * dt)
+        R_n = so3.normalize_matrix(R @ dR)
+        p_n = p + v * dt + 0.5 * a_w * dt * dt
+        v_n = v + a_w * dt
+        # error-state transition F (first order in dt)
+        F = jnp.eye(18, dtype=jnp.float32)
+        F = F.at[0:3, 0:3].set(dR.T)
+        F = F.at[0:3, 9:12].set(-jnp.eye(3) * dt)
+        F = F.at[3:6, 6:9].set(jnp.eye(3) * dt)
+        F = F.at[6:9, 0:3].set(-(R @ so3.hat(a)) * dt)
+        F = F.at[6:9, 12:15].set(-R * dt)
+        F = F.at[6:9, 15:18].set(jnp.eye(3) * dt)
+        Q = jnp.zeros((18, 18), jnp.float32)
+        Q = Q.at[0:3, 0:3].set(jnp.eye(3) * cfg.gyr_cov * dt * dt)
+        Q = Q.at[6:9, 6:9].set(jnp.eye(3) * cfg.acc_cov * dt * dt)
+        Q = Q.at[9:12, 9:12].set(jnp.eye(3) * cfg.b_gyr_cov * dt * dt)
+        Q = Q.at[12:15, 12:15].set(jnp.eye(3) * cfg.b_acc_cov * dt * dt)
+        P_n = F @ P @ F.T + Q
+        return (R_n, p_n, v_n, P_n), out
+
+    (R_e, p_e, v_e, P_e), (Rs, ps, vs, ws, aws) = jax.lax.scan(
+        step, (x.R, x.p, x.v, x.P), (imu.gyro, imu.acc, dts)
+    )
+    x_end = x._replace(R=R_e, p=p_e, v=v_e, P=P_e)
+    traj = (Rs, ps, vs, ws, aws, imu.stamps)
+    return x_end, traj
+
+
+def deskew(pts_lidar, t_offsets, pt_mask, traj, x_end: NavState, cfg: OdomConfig,
+           imu_mask, scan_dt):
+    """Motion-compensate LiDAR points into the scan-end IMU/body frame.
+
+    ``pts_lidar (N,3)`` raw points in the LiDAR frame, ``t_offsets (N,)``
+    seconds relative to the previous scan end (same clock as the IMU batch).
+    Uses piecewise constant (w, a) within each IMU interval. Returns points
+    in the scan-end body frame.
+    """
+    Rs, ps, vs, ws, aws, stamps = traj
+    # points in body (IMU) frame at their own capture time
+    ext_R, ext_T = cfg.ext_R(), cfg.ext_T()
+    pb = pts_lidar @ ext_R.T + ext_T
+
+    # interval lookup: the last IMU stamp <= t (masked lanes get +inf)
+    key_stamps = jnp.where(imu_mask, stamps, jnp.inf)
+    idx = jnp.clip(
+        jnp.searchsorted(key_stamps, t_offsets, side="right") - 1,
+        0,
+        stamps.shape[0] - 1,
+    )
+    dt = jnp.clip(t_offsets - stamps[idx], 0.0, 0.5)
+    R_i = Rs[idx]
+    # pose of body at point time, world frame
+    R_t = R_i @ so3.exp(ws[idx] * dt[:, None])
+    p_t = ps[idx] + vs[idx] * dt[:, None] + 0.5 * aws[idx] * dt[:, None] ** 2
+    pw = jnp.einsum("nij,nj->ni", R_t, pb) + p_t
+    # back into the scan-end body frame
+    pe = jnp.einsum("ji,nj->ni", x_end.R, pw - x_end.p)
+    return jnp.where(pt_mask[:, None], pe, 1.0e6)

@@ -1,0 +1,133 @@
+"""The per-scan odometry step: preprocess → propagate → deskew → downsample
+→ iterated update → map insert → (periodic) eviction.
+
+This is the jitted hot path replacing the reference's `fastlio_mapping`
+process (SURVEY.md §3.1/3.6). One call advances the filter by one LiDAR
+scan; all state (nav state + voxel map) lives on device and is donated
+between steps by the runtime.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.pointcloud import Cloud, compact, voxel_downsample
+from ..map import voxel_hash as vh
+from .iekf import iekf_update
+from .imu import ImuBatch, deskew, propagate
+from .state import GRAVITY, NavState, OdomConfig, init_state
+
+
+class Scan(NamedTuple):
+    """One LiDAR sweep in the sensor frame.
+
+    ``t_offset`` is seconds since the previous scan end (same clock as the
+    IMU batch); ``stamp`` the absolute end-of-scan time (host bookkeeping).
+    """
+
+    xyz: jnp.ndarray  # (N, 3)
+    t_offset: jnp.ndarray  # (N,)
+    mask: jnp.ndarray  # (N,)
+
+
+class OdomState(NamedTuple):
+    nav: NavState
+    vmap: vh.VoxelMap
+    scan_idx: jnp.ndarray  # int32 scalar
+    initialized: jnp.ndarray  # bool scalar (map bootstrapped)
+
+
+def init_odom(map_cfg: vh.VoxelMapConfig, g_world=None) -> OdomState:
+    return OdomState(
+        nav=init_state(g_world),
+        vmap=vh.make_map(map_cfg),
+        scan_idx=jnp.zeros((), jnp.int32),
+        initialized=jnp.zeros((), bool),
+    )
+
+
+def gravity_from_imu(imu: ImuBatch):
+    """Initial gravity estimate from averaged static accelerometer samples
+    (FAST-LIO init capability). Returns world gravity assuming R0 = I."""
+    w = imu.mask.astype(jnp.float32)
+    mean_acc = jnp.sum(imu.acc * w[:, None], axis=0) / jnp.maximum(jnp.sum(w), 1.0)
+    return -mean_acc / jnp.maximum(jnp.linalg.norm(mean_acc), 1e-6) * GRAVITY
+
+
+def _preprocess(scan: Scan, cfg: OdomConfig) -> Scan:
+    """blind ring filter + point stride (FAST-LIO preprocess contract)."""
+    d2 = jnp.sum(scan.xyz * scan.xyz, axis=-1)
+    mask = scan.mask & (d2 > cfg.blind**2) & (d2 < cfg.det_range**2)
+    if cfg.point_filter_num > 1:
+        idx = jnp.arange(scan.xyz.shape[0])
+        mask = mask & ((idx % cfg.point_filter_num) == 0)
+    return scan._replace(mask=mask)
+
+
+def odom_step(
+    state: OdomState,
+    scan: Scan,
+    imu: ImuBatch,
+    scan_dt,
+    cfg: OdomConfig,
+    map_cfg: vh.VoxelMapConfig,
+):
+    """Advance odometry by one scan. Fully jittable with static cfgs.
+
+    Returns ``(new_state, aux)`` where aux carries the world pose (R, p),
+    the deskewed world-frame downsampled cloud (the `/cloud_registered`
+    analog), and diagnostics.
+    """
+    scan = _preprocess(scan, cfg)
+
+    # --- IMU propagate + deskew into scan-end body frame ---
+    nav_prop, traj = propagate(state.nav, imu, cfg, scan_dt)
+    pts_body = deskew(
+        scan.xyz, scan.t_offset, scan.mask, traj, nav_prop, cfg, imu.mask, scan_dt
+    )
+
+    # --- spatial downsample to the iEKF budget ---
+    ds = voxel_downsample(Cloud(xyz=pts_body, mask=scan.mask), cfg.filter_size_surf)
+    ds = compact(ds)
+    budget = min(cfg.num_ds_points, ds.xyz.shape[0])
+    pts = ds.xyz[:budget]
+    msk = ds.mask[:budget]
+
+    # --- iterated update (identity when the map is still empty: zero valid
+    # matches make the MAP step collapse to the propagated state) ---
+    nav_upd, n_matched = iekf_update(nav_prop, pts, msk, state.vmap, map_cfg, cfg)
+    nav_new = jax.lax.cond(
+        state.initialized, lambda: nav_upd, lambda: nav_prop
+    )
+
+    # --- map insert of the updated world-frame cloud ---
+    pw = pts @ nav_new.R.T + nav_new.p
+    vmap_new, n_dropped = vh.insert(state.vmap, map_cfg, pw, msk)
+
+    # --- periodic FoV-sliding eviction ---
+    do_evict = (state.scan_idx % cfg.evict_every) == (cfg.evict_every - 1)
+    vmap_new = jax.lax.cond(
+        do_evict,
+        lambda m: vh.evict_far(m, map_cfg, nav_new.p, cfg.det_range),
+        lambda m: m,
+        vmap_new,
+    )
+
+    new_state = OdomState(
+        nav=nav_new,
+        vmap=vmap_new,
+        scan_idx=state.scan_idx + 1,
+        initialized=jnp.ones((), bool),
+    )
+    aux = {
+        "R": nav_new.R,
+        "p": nav_new.p,
+        "v": nav_new.v,
+        "cloud_world": pw,
+        "cloud_mask": msk,
+        "n_matched": n_matched,
+        "n_dropped": n_dropped,
+    }
+    return new_state, aux

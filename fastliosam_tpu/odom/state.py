@@ -1,0 +1,118 @@
+"""Navigation state and error-state utilities for the iterated ESKF.
+
+FAST-LIO2-capability state (SURVEY.md §3.6): rotation, position, velocity,
+gyro/accel biases, and gravity, with an 18-dim error state ordered
+``[dtheta(0:3), dp(3:6), dv(6:9), dbg(9:12), dba(12:15), dg(15:18)]``.
+Rotation error uses the local (right) convention ``R_true = R_est Exp(dθ)``.
+
+The parameter surface mirrors the reference's FAST-LIO config contract
+(`third_party/fastlio_config_launch/kitti.yaml:16-27`, `kitti.launch:6-11`).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..core import so3
+
+STATE_DIM = 18
+GRAVITY = 9.81
+
+
+class OdomConfig(NamedTuple):
+    """Odometry configuration (FAST-LIO parameter surface)."""
+
+    # noise densities (mapping.{acc_cov,gyr_cov,b_acc_cov,b_gyr_cov})
+    acc_cov: float = 0.1
+    gyr_cov: float = 0.1
+    b_acc_cov: float = 0.0001
+    b_gyr_cov: float = 0.0001
+    # iterated update
+    max_iteration: int = 3  # kitti.launch:8
+    point_cov: float = 0.001  # LASER_POINT_COV analog
+    max_residual: float = 1.0  # point-to-plane outlier gate (m)
+    query_mode: str = "merged"  # "merged" (7-stencil fit) or "cached"
+    # preprocessing
+    blind: float = 1.0  # preprocess.blind
+    point_filter_num: int = 4  # kitti.launch:7
+    filter_size_surf: float = 0.5  # kitti.launch:9
+    det_range: float = 300.0  # mapping.det_range
+    # extrinsics: lidar -> imu (mapping.extrinsic_T / extrinsic_R)
+    extrinsic_T: tuple = (0.0, 0.0, 0.0)
+    extrinsic_R: tuple = (1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
+    # budgets (static shapes)
+    max_imu_per_scan: int = 32
+    num_ds_points: int = 8192  # downsampled points fed to the iEKF
+    # map maintenance
+    evict_every: int = 50  # scans between FoV-sliding eviction passes
+    # initialization
+    init_gravity_samples: int = 10
+
+    def ext_R(self):
+        return jnp.asarray(self.extrinsic_R, jnp.float32).reshape(3, 3)
+
+    def ext_T(self):
+        return jnp.asarray(self.extrinsic_T, jnp.float32)
+
+
+class NavState(NamedTuple):
+    R: jnp.ndarray  # (3, 3) body(IMU)->world
+    p: jnp.ndarray  # (3,)
+    v: jnp.ndarray  # (3,)
+    bg: jnp.ndarray  # (3,)
+    ba: jnp.ndarray  # (3,)
+    g: jnp.ndarray  # (3,) gravity in world frame (approx [0,0,-9.81])
+    P: jnp.ndarray  # (18, 18) error covariance
+
+
+def init_state(g_world=None) -> NavState:
+    if g_world is None:
+        g_world = jnp.array([0.0, 0.0, -GRAVITY], jnp.float32)
+    P = jnp.diag(
+        jnp.concatenate(
+            [
+                jnp.full((3,), 1e-4),  # attitude
+                jnp.full((3,), 1e-8),  # position (anchored)
+                jnp.full((3,), 1e-2),  # velocity
+                jnp.full((3,), 1e-4),  # bg
+                jnp.full((3,), 1e-3),  # ba
+                jnp.full((3,), 1e-4),  # gravity
+            ]
+        ).astype(jnp.float32)
+    )
+    return NavState(
+        R=jnp.eye(3, dtype=jnp.float32),
+        p=jnp.zeros(3, jnp.float32),
+        v=jnp.zeros(3, jnp.float32),
+        bg=jnp.zeros(3, jnp.float32),
+        ba=jnp.zeros(3, jnp.float32),
+        g=g_world.astype(jnp.float32),
+        P=P,
+    )
+
+
+def boxplus(x: NavState, dx) -> NavState:
+    """Apply an 18-dim error-state increment."""
+    return x._replace(
+        R=so3.normalize_matrix(x.R @ so3.exp(dx[0:3])),
+        p=x.p + dx[3:6],
+        v=x.v + dx[6:9],
+        bg=x.bg + dx[9:12],
+        ba=x.ba + dx[12:15],
+        g=x.g + dx[15:18],
+    )
+
+
+def boxminus(a: NavState, b: NavState):
+    """18-dim error a ⊟ b (so that b ⊞ (a ⊟ b) == a)."""
+    return jnp.concatenate(
+        [
+            so3.log(b.R.T @ a.R),
+            a.p - b.p,
+            a.v - b.v,
+            a.bg - b.bg,
+            a.ba - b.ba,
+            a.g - b.g,
+        ]
+    )

@@ -1,0 +1,287 @@
+"""Synthetic LiDAR-inertial world simulator (test fixture + benchmark feed).
+
+The reference has no tests (SURVEY.md §4) — its validation is dataset replay.
+With no datasets in this environment, this simulator generates a physically
+consistent sequence from an analytic trajectory through a plane world:
+
+  * LiDAR scans by ray-casting a spinning multi-beam sensor against
+    rectangles, **from the sensor pose at each point's own timestamp** (so
+    real motion distortion exists and deskew is actually exercised);
+  * IMU samples (gyro/accel with bias + noise) derived from the analytic
+    trajectory via finite differences in float64;
+  * GPS fixes (position + noise, optional geodetic output via an ENU anchor).
+
+Everything is numpy/host-side: fixtures must be framework-independent so the
+engine under test can't share bugs with its ground truth.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+import numpy as np
+
+
+@dataclass
+class PlaneWorld:
+    """A set of finite rectangles: center (K,3), two in-plane half-axes
+    u,v (K,3) (length = half extent), normal derived = u×v normalized."""
+
+    centers: np.ndarray
+    us: np.ndarray
+    vs: np.ndarray
+
+    @property
+    def normals(self):
+        n = np.cross(self.us, self.vs)
+        return n / np.linalg.norm(n, axis=-1, keepdims=True)
+
+    @staticmethod
+    def room(size=40.0, height=8.0, n_boxes=12, seed=0) -> "PlaneWorld":
+        """A closed room with floor, ceiling, 4 walls and random interior
+        boxes — plane-rich, loop-friendly geometry."""
+        rng = np.random.default_rng(seed)
+        s, h = size / 2.0, height
+        C, U, V = [], [], []
+
+        def rect(center, u, v):
+            C.append(center)
+            U.append(u)
+            V.append(v)
+
+        # floor + ceiling
+        rect([0, 0, 0], [s, 0, 0], [0, s, 0])
+        rect([0, 0, h], [s, 0, 0], [0, -s, 0])
+        # walls
+        rect([s, 0, h / 2], [0, s, 0], [0, 0, h / 2])
+        rect([-s, 0, h / 2], [0, -s, 0], [0, 0, h / 2])
+        rect([0, s, h / 2], [-s, 0, 0], [0, 0, h / 2])
+        rect([0, -s, h / 2], [s, 0, 0], [0, 0, h / 2])
+        # interior boxes (4 side faces + top each)
+        for _ in range(n_boxes):
+            bx, by = rng.uniform(-s * 0.7, s * 0.7, size=2)
+            # keep an annular corridor free for circular trajectories
+            # (Trajectory.circle default radius ~8 m)
+            if 4.5 < np.hypot(bx, by) < 11.5:
+                continue
+            w, d, bh = rng.uniform(0.8, 2.5, size=3)
+            bh = min(bh + 0.5, h - 1)
+            yaw = rng.uniform(0, np.pi)
+            ca, sa = np.cos(yaw), np.sin(yaw)
+            ux = np.array([ca, sa, 0.0])
+            uy = np.array([-sa, ca, 0.0])
+            rect([bx + ux[0] * w, by + ux[1] * w, bh / 2], uy * d, [0, 0, bh / 2])
+            rect([bx - ux[0] * w, by - ux[1] * w, bh / 2], -uy * d, [0, 0, bh / 2])
+            rect([bx + uy[0] * d, by + uy[1] * d, bh / 2], -ux * w, [0, 0, bh / 2])
+            rect([bx - uy[0] * d, by - uy[1] * d, bh / 2], ux * w, [0, 0, bh / 2])
+            rect([bx, by, bh], ux * w, uy * d)
+        return PlaneWorld(
+            centers=np.asarray(C, np.float64),
+            us=np.asarray(U, np.float64),
+            vs=np.asarray(V, np.float64),
+        )
+
+    def raycast(self, origins, dirs, max_range=100.0):
+        """Batch ray cast. origins/dirs (N,3) -> (points (N,3), hit (N,))."""
+        n = self.normals  # (K,3)
+        c = self.centers
+        # t per (ray, plane): n·(o + t d - c) = 0
+        denom = dirs @ n.T  # (N,K)
+        num = np.einsum("kj,nkj->nk", n, c[None] - origins[:, None])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = num / denom
+        t = np.where(np.abs(denom) > 1e-9, t, np.inf)
+        t = np.where(t > 1e-6, t, np.inf)
+        hit_pts = origins[:, None] + t[..., None] * dirs[:, None]  # (N,K,3)
+        rel = hit_pts - c[None]
+        ulen2 = np.sum(self.us * self.us, axis=-1)  # (K,)
+        vlen2 = np.sum(self.vs * self.vs, axis=-1)
+        uu = np.einsum("nkj,kj->nk", rel, self.us) / ulen2
+        vv = np.einsum("nkj,kj->nk", rel, self.vs) / vlen2
+        inside = (np.abs(uu) <= 1.0) & (np.abs(vv) <= 1.0)
+        t = np.where(inside, t, np.inf)
+        tmin = t.min(axis=1)
+        kmin = t.argmin(axis=1)
+        hit = np.isfinite(tmin) & (tmin < max_range)
+        pts = origins + np.where(hit, tmin, 0.0)[:, None] * dirs
+        return pts, hit
+
+
+@dataclass
+class Trajectory:
+    """Analytic trajectory t -> (R (3,3), p (3,)), with derivatives via
+    float64 central differences."""
+
+    pose_fn: Callable[[float], tuple]
+
+    @staticmethod
+    def circle(radius=10.0, period=40.0, z_amp=0.5, pitch_amp=0.05) -> "Trajectory":
+        w = 2 * np.pi / period
+
+        def pose(t):
+            a = w * t
+            p = np.array(
+                [radius * np.cos(a), radius * np.sin(a), 1.5 + z_amp * np.sin(2 * a)]
+            )
+            yaw = a + np.pi / 2  # facing the tangent
+            pitch = pitch_amp * np.sin(3 * a)
+            cy, sy = np.cos(yaw), np.sin(yaw)
+            cp, sp = np.cos(pitch), np.sin(pitch)
+            Rz = np.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1.0]])
+            Ry = np.array([[cp, 0, sp], [0, 1, 0], [-sp, 0, cp]])
+            return Rz @ Ry, p
+
+        return Trajectory(pose_fn=pose)
+
+    def pose(self, t):
+        return self.pose_fn(t)
+
+    def velocity(self, t, eps=1e-4):
+        _, p0 = self.pose_fn(t - eps)
+        _, p1 = self.pose_fn(t + eps)
+        return (p1 - p0) / (2 * eps)
+
+    def acceleration(self, t, eps=1e-3):
+        _, p0 = self.pose_fn(t - eps)
+        _, pc = self.pose_fn(t)
+        _, p1 = self.pose_fn(t + eps)
+        return (p1 - 2 * pc + p0) / (eps * eps)
+
+    def angular_velocity(self, t, eps=1e-4):
+        """Body-frame angular velocity from R via central difference."""
+        R0, _ = self.pose_fn(t - eps)
+        R1, _ = self.pose_fn(t + eps)
+        Rc, _ = self.pose_fn(t)
+        dR = (R1 - R0) / (2 * eps)
+        W = Rc.T @ dR  # skew(w_body)
+        return np.array([W[2, 1] - W[1, 2], W[0, 2] - W[2, 0], W[1, 0] - W[0, 1]]) * 0.5
+
+
+@dataclass
+class SimConfig:
+    scan_rate: float = 10.0  # Hz (reference `kitti.yaml: scan_rate: 10`)
+    imu_rate: float = 200.0
+    n_azimuth: int = 512
+    n_elev: int = 16
+    elev_fov: tuple = (-0.3, 0.15)  # radians
+    max_range: float = 80.0
+    gyro_noise: float = 0.002
+    acc_noise: float = 0.02
+    gyro_bias: tuple = (0.002, -0.001, 0.0015)
+    acc_bias: tuple = (0.02, -0.01, 0.015)
+    gravity: float = 9.81
+    gps_rate: float = 1.0
+    gps_noise: float = 0.5
+    lidar_R: np.ndarray = field(default_factory=lambda: np.eye(3))
+    lidar_t: np.ndarray = field(default_factory=lambda: np.zeros(3))
+    seed: int = 0
+
+
+def _ray_dirs(cfg: SimConfig):
+    az = np.linspace(0, 2 * np.pi, cfg.n_azimuth, endpoint=False)
+    el = np.linspace(cfg.elev_fov[0], cfg.elev_fov[1], cfg.n_elev)
+    azg, elg = np.meshgrid(az, el, indexing="ij")  # (A, E)
+    d = np.stack(
+        [
+            np.cos(elg) * np.cos(azg),
+            np.cos(elg) * np.sin(azg),
+            np.sin(elg),
+        ],
+        axis=-1,
+    ).reshape(-1, 3)
+    t_frac = (azg / (2 * np.pi)).reshape(-1)  # fraction of the sweep
+    return d, t_frac
+
+
+def simulate_sequence(
+    world: PlaneWorld, traj: Trajectory, cfg: SimConfig, n_scans: int, t0: float = 0.0
+):
+    """Generate a full sequence.
+
+    Returns a dict with lists per scan:
+      scans:      (pts_lidar (N,3) f32, t_offset (N,) f32, mask (N,))
+      imu:        per-scan (stamps, gyro, acc) covering (t_prev, t_scan]
+      gt:         ground-truth (R, p) at each scan end
+      gps:        (t, xyz, noise_std) world-frame fixes
+      stamps:     absolute scan-end times
+    """
+    rng = np.random.default_rng(cfg.seed)
+    dirs, t_frac = _ray_dirs(cfg)
+    scan_T = 1.0 / cfg.scan_rate
+    imu_dt = 1.0 / cfg.imu_rate
+    g_world = np.array([0.0, 0.0, -cfg.gravity])
+    bg = np.asarray(cfg.gyro_bias)
+    ba = np.asarray(cfg.acc_bias)
+
+    scans, imu_batches, gt, stamps = [], [], [], []
+    gps = []
+    n_rays = dirs.shape[0]
+    for k in range(n_scans):
+        t_end = t0 + (k + 1) * scan_T
+        t_start = t_end - scan_T
+        # --- LiDAR: each azimuth column cast from its own-time pose ---
+        pt_times = t_start + t_frac * scan_T
+        # group by unique azimuth time to limit pose evaluations
+        pts = np.zeros((n_rays, 3))
+        hits = np.zeros((n_rays,), bool)
+        uniq_times, inv = np.unique(pt_times, return_inverse=True)
+        for ui, tu in enumerate(uniq_times):
+            sel = inv == ui
+            R, p = traj.pose(tu)
+            R_s = R @ cfg.lidar_R
+            p_s = R @ cfg.lidar_t + p
+            d_world = dirs[sel] @ R_s.T
+            o = np.broadcast_to(p_s, d_world.shape)
+            pw, h = world.raycast(o, d_world, cfg.max_range)
+            # back to the sensor frame at capture time
+            pts[sel] = (pw - p_s) @ R_s
+            hits[sel] = h
+        t_off = (pt_times - t_start).astype(np.float32)  # relative to prev scan end
+        scans.append(
+            (
+                pts.astype(np.float32),
+                t_off,
+                hits,
+            )
+        )
+        # --- IMU over (t_start, t_end] ---
+        n_imu = int(round(scan_T / imu_dt))
+        ts = t_start + np.arange(n_imu) * imu_dt
+        gyro = np.stack([traj.angular_velocity(t) for t in ts])
+        acc_w = np.stack([traj.acceleration(t) for t in ts])
+        Rs = [traj.pose(t)[0] for t in ts]
+        acc_b = np.stack([Rs[i].T @ (acc_w[i] - g_world) for i in range(n_imu)])
+        gyro = gyro + bg + rng.normal(size=gyro.shape) * cfg.gyro_noise
+        acc_b = acc_b + ba + rng.normal(size=acc_b.shape) * cfg.acc_noise
+        imu_batches.append(
+            (
+                (ts - t_start).astype(np.float32),
+                gyro.astype(np.float32),
+                acc_b.astype(np.float32),
+            )
+        )
+        R_end, p_end = traj.pose(t_end)
+        gt.append((R_end, p_end))
+        stamps.append(t_end)
+        # --- GPS at gps_rate ---
+        if cfg.gps_rate > 0:
+            gps_period = 1.0 / cfg.gps_rate
+            if int(t_end / gps_period) > int(t_start / gps_period):
+                tg = np.floor(t_end / gps_period) * gps_period
+                _, pg = traj.pose(tg)
+                gps.append(
+                    (
+                        tg,
+                        pg + rng.normal(size=3) * cfg.gps_noise,
+                        np.full(3, cfg.gps_noise),
+                    )
+                )
+
+    return {
+        "scans": scans,
+        "imu": imu_batches,
+        "gt": gt,
+        "stamps": np.asarray(stamps),
+        "gps": gps,
+        "scan_dt": scan_T,
+    }
