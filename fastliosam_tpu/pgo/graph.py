@@ -1,0 +1,128 @@
+"""Factor-graph storage as fixed-capacity structures of arrays.
+
+The TPU-native replacement for the reference's GTSAM graph assembly
+(`gtsam::NonlinearFactorGraph` + `ISAM2`, `fast_lio_sam.h:39-54`,
+`fast_lio_sam.cpp:446-513`): keyframe poses and three factor families
+(prior, between, GPS unary) stored as padded arrays with validity masks, so
+the whole graph lives on device and is solvable inside one jitted program.
+
+Factor conventions (matching GTSAM semantics used by the reference):
+  * between(i, j, Z): residual Log(Z⁻¹ · Tᵢ⁻¹ Tⱼ), diag sqrt-info weights —
+    odometry factors use `pose_from.between(pose_to)`
+    (`fast_lio_sam.cpp:466-478`), loop factors the ICP-corrected relative
+    pose (`fast_lio_sam.cpp:699-713`).
+  * gps(i, xyz): residual trans(Tᵢ) − xyz (gtsam::GPSFactor,
+    `fast_lio_sam.cpp:249-257`).
+  * prior on node 0 (`fast_lio_sam.cpp:446-450`).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+
+class PoseGraphConfig(NamedTuple):
+    max_keyframes: int = 512
+    max_between: int = 1024
+    max_gps: int = 256
+    # LM schedule
+    lm_iters: int = 6
+    pcg_iters: int = 64
+    lambda_init: float = 1e-4
+    lambda_up: float = 4.0
+    lambda_down: float = 0.5
+    # prior noise on node 0 (sqrt information); reference uses a hard prior
+    prior_sqrt_info: float = 1e3
+
+
+class PoseGraph(NamedTuple):
+    # keyframe poses
+    poses: jnp.ndarray  # (K, 4, 4)
+    kf_valid: jnp.ndarray  # (K,) bool
+    n_kf: jnp.ndarray  # int32
+    # between factors
+    bt_i: jnp.ndarray  # (F,) int32
+    bt_j: jnp.ndarray  # (F,) int32
+    bt_rel: jnp.ndarray  # (F, 4, 4) measured Z
+    bt_sqrt_info: jnp.ndarray  # (F, 6) diagonal sqrt information
+    bt_valid: jnp.ndarray  # (F,) bool
+    n_bt: jnp.ndarray  # int32
+    # gps unary factors
+    gps_idx: jnp.ndarray  # (G,) int32
+    gps_xyz: jnp.ndarray  # (G, 3)
+    gps_sqrt_info: jnp.ndarray  # (G, 3)
+    gps_valid: jnp.ndarray  # (G,) bool
+    n_gps: jnp.ndarray  # int32
+
+
+def make_graph(cfg: PoseGraphConfig) -> PoseGraph:
+    K, F, G = cfg.max_keyframes, cfg.max_between, cfg.max_gps
+    eye = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (K, 4, 4))
+    return PoseGraph(
+        poses=eye,
+        kf_valid=jnp.zeros((K,), bool),
+        n_kf=jnp.zeros((), jnp.int32),
+        bt_i=jnp.zeros((F,), jnp.int32),
+        bt_j=jnp.zeros((F,), jnp.int32),
+        bt_rel=jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (F, 4, 4)),
+        bt_sqrt_info=jnp.zeros((F, 6), jnp.float32),
+        bt_valid=jnp.zeros((F,), bool),
+        n_bt=jnp.zeros((), jnp.int32),
+        gps_idx=jnp.zeros((G,), jnp.int32),
+        gps_xyz=jnp.zeros((G, 3), jnp.float32),
+        gps_sqrt_info=jnp.zeros((G, 3), jnp.float32),
+        gps_valid=jnp.zeros((G,), bool),
+        n_gps=jnp.zeros((), jnp.int32),
+    )
+
+
+def add_keyframe(g: PoseGraph, pose) -> PoseGraph:
+    """Append a keyframe pose (no-op when at capacity). Returns new graph."""
+    k = g.n_kf
+    in_cap = k < g.poses.shape[0]
+    kc = jnp.clip(k, 0, g.poses.shape[0] - 1)
+    poses = jnp.where(in_cap, g.poses.at[kc].set(pose), g.poses)
+    kf_valid = jnp.where(in_cap, g.kf_valid.at[kc].set(True), g.kf_valid)
+    return g._replace(
+        poses=poses, kf_valid=kf_valid, n_kf=k + in_cap.astype(jnp.int32)
+    )
+
+
+def set_pose(g: PoseGraph, idx, pose) -> PoseGraph:
+    return g._replace(poses=g.poses.at[idx].set(pose))
+
+
+def add_between(g: PoseGraph, i, j, rel, sqrt_info) -> PoseGraph:
+    f = g.n_bt
+    in_cap = f < g.bt_i.shape[0]
+    fc = jnp.clip(f, 0, g.bt_i.shape[0] - 1)
+
+    def upd(arr, val):
+        return jnp.where(in_cap, arr.at[fc].set(val), arr)
+
+    return g._replace(
+        bt_i=upd(g.bt_i, jnp.asarray(i, jnp.int32)),
+        bt_j=upd(g.bt_j, jnp.asarray(j, jnp.int32)),
+        bt_rel=upd(g.bt_rel, rel),
+        bt_sqrt_info=upd(g.bt_sqrt_info, sqrt_info),
+        bt_valid=upd(g.bt_valid, True),
+        n_bt=f + in_cap.astype(jnp.int32),
+    )
+
+
+def add_gps(g: PoseGraph, idx, xyz, sqrt_info) -> PoseGraph:
+    f = g.n_gps
+    in_cap = f < g.gps_idx.shape[0]
+    fc = jnp.clip(f, 0, g.gps_idx.shape[0] - 1)
+
+    def upd(arr, val):
+        return jnp.where(in_cap, arr.at[fc].set(val), arr)
+
+    return g._replace(
+        gps_idx=upd(g.gps_idx, jnp.asarray(idx, jnp.int32)),
+        gps_xyz=upd(g.gps_xyz, xyz),
+        gps_sqrt_info=upd(g.gps_sqrt_info, sqrt_info),
+        gps_valid=upd(g.gps_valid, True),
+        n_gps=f + in_cap.astype(jnp.int32),
+    )

@@ -1,0 +1,192 @@
+"""Batched Levenberg–Marquardt pose-graph solver with a PCG linear stage.
+
+Replaces GTSAM iSAM2 (`fast_lio_sam.cpp:102-105,494-513`): instead of an
+incremental Bayes tree (pointer-heavy, tree rebalancing — hostile to XLA),
+each solve is a batched re-linearization + matrix-free preconditioned
+conjugate-gradient Gauss–Newton step. All factor math is vectorized over
+fixed-capacity factor arrays (invalid factors have zero sqrt-info, so they
+contribute nothing); the Hessian is never materialized — `A·v` is two
+gathers + two scatter-adds over the factor lists, which is exactly the
+shardable pattern used by the multi-host path in `parallel/`.
+
+The LM loop and the PCG loop are `lax.scan`s with static trip counts, so a
+solve is one XLA program with no host round-trips.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core import se3, so3
+from .graph import PoseGraph, PoseGraphConfig
+
+_EPS = 1e-12
+
+
+def _ad_se3(xi):
+    """SE(3) adjoint of a tangent vector (..., 6) -> (..., 6, 6),
+    ordering [rho, theta]."""
+    rho, th = xi[..., :3], xi[..., 3:]
+    Z = jnp.zeros(xi.shape[:-1] + (6, 6), xi.dtype)
+    Z = Z.at[..., :3, :3].set(so3.hat(th))
+    Z = Z.at[..., :3, 3:].set(so3.hat(rho))
+    Z = Z.at[..., 3:, 3:].set(so3.hat(th))
+    return Z
+
+
+def _jr_inv(r):
+    """First-order inverse right Jacobian of SE(3): I + 0.5 ad(r)."""
+    eye = jnp.broadcast_to(jnp.eye(6, dtype=r.dtype), r.shape[:-1] + (6, 6))
+    return eye + 0.5 * _ad_se3(r)
+
+
+def _between_residuals(g: PoseGraph):
+    """Whitened residuals + Jacobian blocks for all between factors."""
+    Ti = g.poses[g.bt_i]
+    Tj = g.poses[g.bt_j]
+    E = se3.compose(se3.inverse(g.bt_rel), se3.between(Ti, Tj))
+    r0 = se3.log(E)  # (F, 6)
+    Jr = _jr_inv(r0)
+    Ad = se3.adjoint(se3.between(Tj, Ti))
+    w = g.bt_sqrt_info * g.bt_valid[:, None]  # (F, 6)
+    Jj = w[:, :, None] * Jr
+    Ji = -w[:, :, None] * (Jr @ Ad)
+    rw = w * r0
+    return rw, Ji, Jj
+
+
+def _gps_residuals(g: PoseGraph):
+    Ti = g.poses[g.gps_idx]
+    r0 = se3.trans(Ti) - g.gps_xyz  # (G, 3)
+    w = g.gps_sqrt_info * g.gps_valid[:, None]
+    # d trans(T Exp(xi))/d xi = [R, 0]
+    J = jnp.concatenate(
+        [se3.rot(Ti), jnp.zeros_like(se3.rot(Ti))], axis=-1
+    )  # (G, 3, 6)
+    Jw = w[:, :, None] * J
+    rw = w * r0
+    return rw, Jw
+
+
+def _prior_residual(g: PoseGraph, cfg: PoseGraphConfig, prior_pose):
+    r0 = se3.log(se3.between(prior_pose, g.poses[0]))
+    w = cfg.prior_sqrt_info
+    J = w * _jr_inv(r0)
+    return w * r0, J
+
+
+def graph_cost(g: PoseGraph, cfg: PoseGraphConfig, prior_pose=None):
+    """0.5 * sum of squared whitened residuals (masked)."""
+    if prior_pose is None:
+        prior_pose = jnp.eye(4, dtype=jnp.float32)
+    rb, _, _ = _between_residuals(g)
+    rg, _ = _gps_residuals(g)
+    rp, _ = _prior_residual(g, cfg, prior_pose)
+    return 0.5 * (jnp.sum(rb * rb) + jnp.sum(rg * rg) + jnp.sum(rp * rp))
+
+
+def _linearize(g: PoseGraph, cfg: PoseGraphConfig, prior_pose):
+    """Compute b = -JᵀWr, per-pose diagonal Hessian blocks, and a matvec."""
+    K = g.poses.shape[0]
+    rb, Ji, Jj = _between_residuals(g)
+    rg, Jg = _gps_residuals(g)
+    rp, Jp = _prior_residual(g, cfg, prior_pose)
+
+    b = jnp.zeros((K, 6), jnp.float32)
+    b = b.at[g.bt_i].add(-jnp.einsum("fij,fi->fj", Ji, rb))
+    b = b.at[g.bt_j].add(-jnp.einsum("fij,fi->fj", Jj, rb))
+    b = b.at[g.gps_idx].add(-jnp.einsum("fij,fi->fj", Jg, rg))
+    b = b.at[0].add(-(Jp.T @ rp))
+
+    Hd = jnp.zeros((K, 6, 6), jnp.float32)
+    Hd = Hd.at[g.bt_i].add(jnp.einsum("fki,fkj->fij", Ji, Ji))
+    Hd = Hd.at[g.bt_j].add(jnp.einsum("fki,fkj->fij", Jj, Jj))
+    Hd = Hd.at[g.gps_idx].add(jnp.einsum("fki,fkj->fij", Jg, Jg))
+    Hd = Hd.at[0].add(Jp.T @ Jp)
+
+    def matvec(v, lam):
+        """(JᵀWJ + lam·diag(H) + eps·I) v for v (K, 6)."""
+        ub = jnp.einsum("fij,fj->fi", Ji, v[g.bt_i]) + jnp.einsum(
+            "fij,fj->fi", Jj, v[g.bt_j]
+        )
+        y = jnp.zeros((K, 6), jnp.float32)
+        y = y.at[g.bt_i].add(jnp.einsum("fij,fi->fj", Ji, ub))
+        y = y.at[g.bt_j].add(jnp.einsum("fij,fi->fj", Jj, ub))
+        ug = jnp.einsum("fij,fj->fi", Jg, v[g.gps_idx])
+        y = y.at[g.gps_idx].add(jnp.einsum("fij,fi->fj", Jg, ug))
+        y = y.at[0].add(Jp.T @ (Jp @ v[0]))
+        diag = jnp.diagonal(Hd, axis1=-2, axis2=-1)
+        return y + lam * diag * v + 1e-6 * v
+
+    return b, Hd, matvec
+
+
+def _pcg(matvec, b, Hd, lam, iters):
+    """Block-Jacobi preconditioned CG for (K,6) unknowns."""
+    diag = jnp.diagonal(Hd, axis1=-2, axis2=-1)
+    # block preconditioner: (Hd + LM diagonal damping + eps I) per pose
+    damp = lam * diag + 1e-6
+    Mblocks = Hd + jax.vmap(jnp.diag)(damp)
+    Minv = jnp.linalg.inv(Mblocks)
+
+    def apply_M(r):
+        return jnp.einsum("kij,kj->ki", Minv, r)
+
+    x = jnp.zeros_like(b)
+    r = b
+    z = apply_M(r)
+    p = z
+    rz = jnp.sum(r * z)
+
+    def body(carry, _):
+        x, r, p, rz = carry
+        Ap = matvec(p, lam)
+        pAp = jnp.sum(p * Ap)
+        alpha = jnp.where(pAp > _EPS, rz / jnp.maximum(pAp, _EPS), 0.0)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = apply_M(r)
+        rz_new = jnp.sum(r * z)
+        beta = jnp.where(rz > _EPS, rz_new / jnp.maximum(rz, _EPS), 0.0)
+        p = z + beta * p
+        return (x, r, p, rz_new), None
+
+    (x, _, _, _), _ = jax.lax.scan(body, (x, r, p, rz), None, length=iters)
+    return x
+
+
+def solve(g: PoseGraph, cfg: PoseGraphConfig, prior_pose=None):
+    """Run the LM loop; returns the graph with optimized poses.
+
+    Fully jittable (static trip counts). The reference's behavior of extra
+    iSAM2 update rounds after a loop factor (`fast_lio_sam.cpp:504-509`) is
+    subsumed by running `lm_iters` full re-linearizations per solve.
+    """
+    if prior_pose is None:
+        prior_pose = g.poses[0]
+    kf_mask = g.kf_valid[:, None].astype(jnp.float32)
+
+    def lm_iter(carry, _):
+        poses, lam, cost = carry
+        gg = g._replace(poses=poses)
+        b, Hd, matvec = _linearize(gg, cfg, prior_pose)
+        dx = _pcg(matvec, b, Hd, lam, cfg.pcg_iters)
+        dx = dx * kf_mask
+        cand = se3.retract(poses, dx)
+        cand = jnp.where(g.kf_valid[:, None, None], cand, poses)
+        new_cost = graph_cost(g._replace(poses=cand), cfg, prior_pose)
+        accept = new_cost < cost
+        poses = jnp.where(accept, cand, poses)
+        cost = jnp.where(accept, new_cost, cost)
+        lam = jnp.where(accept, lam * cfg.lambda_down, lam * cfg.lambda_up)
+        lam = jnp.clip(lam, 1e-9, 1e6)
+        return (poses, lam, cost), cost
+
+    cost0 = graph_cost(g, cfg, prior_pose)
+    (poses, _, cost), _ = jax.lax.scan(
+        lm_iter,
+        (g.poses, jnp.float32(cfg.lambda_init), cost0),
+        None,
+        length=cfg.lm_iters,
+    )
+    return g._replace(poses=poses), cost

@@ -1,0 +1,142 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fastliosam_tpu.core import se3, so3
+from fastliosam_tpu.pgo import (
+    PoseGraphConfig,
+    add_between,
+    add_gps,
+    add_keyframe,
+    graph_cost,
+    make_graph,
+    solve,
+)
+
+CFG = PoseGraphConfig(
+    max_keyframes=64, max_between=128, max_gps=32, lm_iters=10, pcg_iters=96
+)
+
+
+def circle_poses(n, radius=10.0):
+    """Ground-truth poses around a circle, yaw facing the tangent."""
+    out = []
+    for k in range(n):
+        a = 2 * np.pi * k / n
+        p = np.array([radius * np.cos(a), radius * np.sin(a), 0.0])
+        yaw = a + np.pi / 2
+        R = np.array(
+            [
+                [np.cos(yaw), -np.sin(yaw), 0],
+                [np.sin(yaw), np.cos(yaw), 0],
+                [0, 0, 1.0],
+            ]
+        )
+        out.append(se3.make(jnp.asarray(R, jnp.float32), jnp.asarray(p, jnp.float32)))
+    return out
+
+
+def build_noisy_chain(gt, rng, odom_noise=0.02, rot_noise=0.005):
+    """Graph from noisy odometry between consecutive ground-truth poses."""
+    g = make_graph(CFG)
+    # integrate noisy odometry for the initial estimates
+    est = gt[0]
+    g = add_keyframe(g, est)
+    sqrt_info = jnp.asarray([10.0] * 3 + [100.0] * 3, jnp.float32)
+    for k in range(1, len(gt)):
+        rel = se3.between(gt[k - 1], gt[k])
+        noise = np.concatenate(
+            [rng.normal(size=3) * odom_noise, rng.normal(size=3) * rot_noise]
+        ).astype(np.float32)
+        rel_noisy = se3.compose(rel, se3.exp(jnp.asarray(noise)))
+        est = se3.compose(est, rel_noisy)
+        g = add_keyframe(g, est)
+        g = add_between(g, k - 1, k, rel_noisy, sqrt_info)
+    return g
+
+
+def pose_errors(g, gt):
+    n = len(gt)
+    errs = []
+    for k in range(n):
+        errs.append(
+            float(jnp.linalg.norm(se3.trans(g.poses[k]) - se3.trans(gt[k])))
+        )
+    return np.asarray(errs)
+
+
+def test_chain_with_loop_closure(rng):
+    """Odometry drift around a circle is corrected by one loop factor."""
+    gt = circle_poses(24)
+    g = build_noisy_chain(gt, rng, odom_noise=0.05, rot_noise=0.01)
+    drift_before = pose_errors(g, gt)
+    # loop closure: last -> first with the true relative pose, tight noise
+    rel = se3.between(gt[-1], gt[0])
+    g = add_between(
+        g, 23, 0, rel, jnp.asarray([100.0] * 3 + [1000.0] * 3, jnp.float32)
+    )
+    g2, cost = solve(g, CFG, prior_pose=gt[0])
+    drift_after = pose_errors(g2, gt)
+    assert drift_after.max() < drift_before.max()
+    assert drift_after.mean() < 0.6 * drift_before.mean() + 1e-3
+    # the loop endpoints must be consistent now
+    end_rel = se3.between(g2.poses[23], g2.poses[0])
+    gap = float(jnp.linalg.norm(se3.log(se3.compose(se3.inverse(rel), end_rel))))
+    assert gap < 0.05
+
+
+def test_cost_decreases(rng):
+    gt = circle_poses(16)
+    g = build_noisy_chain(gt, rng)
+    c0 = float(graph_cost(g, CFG, prior_pose=gt[0]))
+    _, c1 = solve(g, CFG, prior_pose=gt[0])
+    assert float(c1) <= c0
+
+
+def test_gps_factors_pull_trajectory(rng):
+    """GPS unary factors on a drifting chain pull it back to truth
+    (the add_gps_factor capability, reference fast_lio_sam.cpp:177-260)."""
+    gt = circle_poses(24)
+    g = build_noisy_chain(gt, rng, odom_noise=0.08, rot_noise=0.01)
+    for k in range(0, 24, 3):
+        z = se3.trans(gt[k]) + jnp.asarray(rng.normal(size=3) * 0.02, jnp.float32)
+        g = add_gps(g, k, z, jnp.full((3,), 20.0, jnp.float32))
+    drift_before = pose_errors(g, gt)
+    g2, _ = solve(g, CFG, prior_pose=gt[0])
+    drift_after = pose_errors(g2, gt)
+    assert drift_after.mean() < 0.5 * drift_before.mean() + 0.02
+    assert drift_after.max() < 0.4
+
+
+def test_perfect_graph_stays_put(rng):
+    gt = circle_poses(12)
+    g = make_graph(CFG)
+    sqrt_info = jnp.asarray([10.0] * 3 + [100.0] * 3, jnp.float32)
+    for k, T in enumerate(gt):
+        g = add_keyframe(g, T)
+        if k:
+            g = add_between(g, k - 1, k, se3.between(gt[k - 1], gt[k]), sqrt_info)
+    g2, cost = solve(g, CFG, prior_pose=gt[0])
+    assert float(cost) < 1e-4
+    assert pose_errors(g2, gt).max() < 1e-3
+
+
+def test_solve_is_jittable(rng):
+    gt = circle_poses(8)
+    g = build_noisy_chain(gt, rng)
+    solver = jax.jit(lambda g: solve(g, CFG))
+    g2, cost = solver(g)
+    assert np.isfinite(float(cost))
+
+
+def test_capacity_overflow_is_safe():
+    cfg = PoseGraphConfig(max_keyframes=4, max_between=4, max_gps=2)
+    g = make_graph(cfg)
+    eye = jnp.eye(4, dtype=jnp.float32)
+    for k in range(8):
+        g = add_keyframe(g, eye)
+    assert int(g.n_kf) == 4
+    si = jnp.ones((6,), jnp.float32)
+    for k in range(8):
+        g = add_between(g, 0, 1, eye, si)
+    assert int(g.n_bt) == 4
