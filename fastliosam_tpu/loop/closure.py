@@ -1,0 +1,104 @@
+"""Submap assembly + loop verification.
+
+Equivalent of ``LoopClosure::setSrcAndDstCloud`` / ``performLoopClosure``
+(`loop_closure.cpp:42-126`): accumulate ±num_submap_keyframes around the
+query and the candidate in the world frame (using the *corrected* poses),
+voxelize, and run ICP. The accepted transform produces the between-factor
+endpoints exactly as the reference wires them (`fast_lio_sam.cpp:699-713`):
+``pose_from = icp_tf · T_query``, ``pose_to = T_candidate``, factor noise
+``fitness · I₆``.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import se3
+from ..core.pointcloud import Cloud, compact, voxel_downsample
+from .icp import icp_align
+
+
+class LoopConfig(NamedTuple):
+    radius: float = 35.0  # loop_detection_radius (config.yaml:11)
+    time_gap: float = 30.0  # loop_detection_timediff_threshold (config.yaml:12)
+    num_submap_keyframes: int = 5  # config.yaml:8
+    voxel_res: float = 0.3  # config.yaml:15
+    icp_score_threshold: float = 1.5  # config.yaml:16
+    max_iterations: int = 50
+    max_corr_factor: float = 1.5  # max corr dist = radius * this
+    submap_points: int = 16384  # static budget of each assembled submap
+    nn_chunk: int = 2048
+    trim_fraction: float = 0.8  # trimmed-ICP fraction (1.0 = reference-like)
+
+
+def build_submap(
+    kf_clouds,  # (K, P, 3) keyframe clouds in *body* frame (PosePcd analog)
+    kf_cloud_masks,  # (K, P)
+    poses,  # (K, 4, 4) corrected keyframe poses
+    kf_valid,  # (K,)
+    center_idx,  # scalar int32
+    cfg: LoopConfig,
+):
+    """World-frame submap of ±num_submap_keyframes around ``center_idx``,
+    voxelized and packed to the static ``submap_points`` budget."""
+    span = 2 * cfg.num_submap_keyframes + 1
+    offs = jnp.arange(-cfg.num_submap_keyframes, cfg.num_submap_keyframes + 1)
+    K = kf_clouds.shape[0]
+    idx = jnp.clip(center_idx + offs, 0, K - 1)
+    in_range = (center_idx + offs >= 0) & (center_idx + offs < K)
+    sel_valid = kf_valid[idx] & in_range  # (span,)
+    clouds = kf_clouds[idx]  # (span, P, 3)
+    masks = kf_cloud_masks[idx] & sel_valid[:, None]
+    T = poses[idx]  # (span, 4, 4)
+    world = se3.apply(T, clouds)  # (span, P, 3)
+    flat = world.reshape(span * kf_clouds.shape[1], 3)
+    fmask = masks.reshape(-1)
+    ds = voxel_downsample(Cloud(xyz=flat, mask=fmask), cfg.voxel_res)
+    ds = compact(ds)
+    budget = min(cfg.submap_points, ds.xyz.shape[0])
+    return ds.xyz[:budget], ds.mask[:budget]
+
+
+def verify_loop(
+    kf_clouds,
+    kf_cloud_masks,
+    poses,
+    kf_valid,
+    query_idx,
+    cand_idx,
+    cfg: LoopConfig,
+):
+    """ICP-verify a loop candidate.
+
+    Returns ``(rel, sqrt_info, accepted, fitness)`` where ``rel`` is the
+    between-factor measurement from query to candidate
+    (``(icp_tf · T_q)⁻¹ · T_c``) and sqrt_info the diagonal sqrt information
+    ``1/sqrt(fitness)`` (reference noise = Variances(fitness · I₆)).
+    """
+    src, src_mask = build_submap(
+        kf_clouds, kf_cloud_masks, poses, kf_valid, query_idx, cfg
+    )
+    dst, dst_mask = build_submap(
+        kf_clouds, kf_cloud_masks, poses, kf_valid, cand_idx, cfg
+    )
+    icp_tf, fitness, n_corr = icp_align(
+        src,
+        src_mask,
+        dst,
+        dst_mask,
+        max_iterations=cfg.max_iterations,
+        max_corr_dist=cfg.radius * cfg.max_corr_factor,
+        nn_chunk=cfg.nn_chunk,
+        trim_fraction=cfg.trim_fraction,
+    )
+    accepted = (fitness < cfg.icp_score_threshold) & (n_corr > 100)
+    T_q = poses[query_idx]
+    T_c = poses[cand_idx]
+    pose_from = se3.compose(icp_tf, T_q)  # fast_lio_sam.cpp:703 ordering
+    rel = se3.between(pose_from, T_c)
+    sqrt_info = jnp.full(
+        (6,), 1.0 / jnp.sqrt(jnp.maximum(fitness, 1e-4)), jnp.float32
+    )
+    return rel, sqrt_info, accepted, fitness

@@ -1,0 +1,151 @@
+"""Batched point-to-point ICP with MXU brute-force nearest neighbors.
+
+Replaces PCL ``IterativeClosestPoint`` (`loop_closure.cpp:69-92`). On TPU,
+brute force *is* the fast path: the N×M squared-distance matrix is a matmul
+(‖a−b‖² = ‖a‖² + ‖b‖² − 2a·bᵀ) that maps straight onto the MXU, tiled over
+the destination so the working set stays in VMEM. The alignment step is
+Horn's quaternion absolute orientation solved with a shifted power
+iteration on the 4×4 N-matrix (no host callbacks, no LAPACK).
+
+Matches the reference's acceptance semantics: ``converged`` after a fixed
+iteration budget and ``fitness`` = mean squared distance of correspondences
+within ``max_corr_dist`` (PCL ``getFitnessScore``), accepted when
+``fitness < icp_score_threshold`` (`config.yaml:16`).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core import se3, so3
+
+_BIG = 1.0e12
+
+
+def nearest_neighbors(src, dst, dst_mask, chunk: int = 2048):
+    """For each src point the index+sq-distance of its nearest dst point.
+
+    ``src (N,3)``, ``dst (M,3)``; dst is processed in MXU-sized chunks with
+    a running min so the N×M matrix is never materialized.
+    """
+    n = src.shape[0]
+    m = dst.shape[0]
+    pad = (-m) % chunk
+    dstp = jnp.concatenate([dst, jnp.full((pad, 3), 1e6, dst.dtype)], axis=0)
+    maskp = jnp.concatenate([dst_mask, jnp.zeros((pad,), bool)], axis=0)
+    n_chunks = dstp.shape[0] // chunk
+    src_n2 = jnp.sum(src * src, axis=-1)  # (N,)
+
+    def body(c, carry):
+        best_d2, best_idx = carry
+        d0 = c * chunk
+        dc = jax.lax.dynamic_slice_in_dim(dstp, d0, chunk, axis=0)
+        mc = jax.lax.dynamic_slice_in_dim(maskp, d0, chunk, axis=0)
+        dot = src @ dc.T  # (N, chunk) — MXU
+        d2 = src_n2[:, None] + jnp.sum(dc * dc, axis=-1)[None, :] - 2.0 * dot
+        d2 = jnp.where(mc[None, :], d2, _BIG)
+        cmin = jnp.min(d2, axis=1)
+        carg = jnp.argmin(d2, axis=1).astype(jnp.int32) + d0
+        better = cmin < best_d2
+        return (
+            jnp.where(better, cmin, best_d2),
+            jnp.where(better, carg, best_idx),
+        )
+
+    best = (jnp.full((n,), _BIG, jnp.float32), jnp.zeros((n,), jnp.int32))
+    best_d2, best_idx = jax.lax.fori_loop(0, n_chunks, body, best)
+    return best_idx, jnp.maximum(best_d2, 0.0)
+
+
+def _horn_quat(P, Q, w):
+    """Weighted absolute orientation: find R, t minimizing Σw‖R p + t − q‖².
+
+    Horn's quaternion method; the dominant eigenvector of the 4×4 N-matrix
+    is extracted with a shifted power iteration (Gershgorin shift makes the
+    target eigenvalue the largest in magnitude).
+    """
+    wsum = jnp.maximum(jnp.sum(w), 1e-6)
+    mu_p = jnp.sum(P * w[:, None], axis=0) / wsum
+    mu_q = jnp.sum(Q * w[:, None], axis=0) / wsum
+    Pc = P - mu_p
+    Qc = Q - mu_q
+    S = (Pc * w[:, None]).T @ Qc  # (3,3) cross-covariance — MXU
+    tr = jnp.trace(S)
+    A = S - S.T
+    delta = jnp.array([A[1, 2], A[2, 0], A[0, 1]])
+    N = jnp.zeros((4, 4), jnp.float32)
+    N = N.at[0, 0].set(tr)
+    N = N.at[0, 1:].set(delta)
+    N = N.at[1:, 0].set(delta)
+    N = N.at[1:, 1:].set(S + S.T - tr * jnp.eye(3, dtype=jnp.float32))
+    # shift so the max eigenvalue is dominant
+    shift = jnp.sum(jnp.abs(N)) + 1e-3
+    M = N + shift * jnp.eye(4, dtype=jnp.float32)
+
+    def it(q, _):
+        q = M @ q
+        return q / jnp.maximum(jnp.linalg.norm(q), 1e-12), None
+
+    q0 = jnp.array([1.0, 0.0, 0.0, 0.0], jnp.float32)
+    q, _ = jax.lax.scan(it, q0, None, length=30)
+    R = so3.quat_to_matrix(q)
+    t = mu_q - R @ mu_p
+    return R, t
+
+
+def icp_align(
+    src,
+    src_mask,
+    dst,
+    dst_mask,
+    init_T=None,
+    max_iterations: int = 50,  # loop_closure.cpp budget
+    max_corr_dist: float = 52.5,  # radius * 1.5 (fast_lio_sam.cpp:73)
+    nn_chunk: int = 2048,
+    trim_fraction: float = 1.0,
+):
+    """Iterative closest point. Returns ``(T, fitness, n_corr)`` where T maps
+    src into dst's frame and fitness is PCL-style mean squared corr distance.
+
+    ``trim_fraction < 1`` enables trimmed ICP: only the best that fraction of
+    correspondences (by distance) drive each alignment step — robust to the
+    partial-overlap tails that bias plain point-to-point ICP (an improvement
+    over the reference's untrimmed PCL configuration).
+    """
+    if init_T is None:
+        init_T = jnp.eye(4, dtype=jnp.float32)
+    n = src.shape[0]
+
+    def corr_weights(nn_d2):
+        corr = src_mask & (nn_d2 < max_corr_dist * max_corr_dist)
+        if trim_fraction < 1.0:
+            d2s = jnp.sort(jnp.where(corr, nn_d2, _BIG))
+            n_corr = jnp.sum(corr.astype(jnp.int32))
+            k = jnp.clip(
+                (n_corr.astype(jnp.float32) * trim_fraction).astype(jnp.int32),
+                1,
+                n - 1,
+            )
+            thr = d2s[k]
+            corr = corr & (nn_d2 <= thr)
+        return corr
+
+    def body(T, _):
+        ps = se3.apply(T, src[None])[0]
+        nn_idx, nn_d2 = nearest_neighbors(ps, dst, dst_mask, nn_chunk)
+        w = corr_weights(nn_d2).astype(jnp.float32)
+        R, t = _horn_quat(ps, dst[nn_idx], w)
+        T_new = se3.compose(se3.make(R, t), T)
+        return T_new, None
+
+    T, _ = jax.lax.scan(body, init_T, None, length=max_iterations)
+
+    ps = se3.apply(T, src[None])[0]
+    nn_idx, nn_d2 = nearest_neighbors(ps, dst, dst_mask, nn_chunk)
+    corr = src_mask & (nn_d2 < max_corr_dist * max_corr_dist)
+    n_corr = jnp.sum(corr.astype(jnp.int32))
+    fitness = jnp.sum(jnp.where(corr, nn_d2, 0.0)) / jnp.maximum(
+        n_corr.astype(jnp.float32), 1.0
+    )
+    fitness = jnp.where(n_corr > 0, fitness, jnp.inf)
+    return T, fitness, n_corr

@@ -1,0 +1,128 @@
+import numpy as np
+import jax.numpy as jnp
+
+from fastliosam_tpu.core import se3, so3
+from fastliosam_tpu.loop import (
+    LoopConfig,
+    fetch_closest_keyframe_idx,
+    icp_align,
+    nearest_neighbors,
+    verify_loop,
+)
+
+
+def test_fetch_closest_candidate():
+    # keyframes along a line that comes back near the start
+    pos = np.zeros((10, 3), np.float32)
+    pos[:5, 0] = np.arange(5) * 10  # outbound
+    pos[5:, 0] = 40 - np.arange(5) * 10  # inbound
+    pos[5:, 1] = 2.0
+    stamps = np.arange(10, dtype=np.float32) * 10
+    valid = np.ones(10, bool)
+    idx, found = fetch_closest_keyframe_idx(
+        jnp.asarray(pos), jnp.asarray(stamps), jnp.asarray(valid),
+        9, radius=15.0, time_gap=30.0,
+    )
+    assert bool(found)
+    assert int(idx) == 0  # back at the start; frames 5..9 are too recent
+
+
+def test_fetch_respects_time_gap():
+    pos = np.zeros((5, 3), np.float32)
+    stamps = np.arange(5, dtype=np.float32)
+    valid = np.ones(5, bool)
+    idx, found = fetch_closest_keyframe_idx(
+        jnp.asarray(pos), jnp.asarray(stamps), jnp.asarray(valid),
+        4, radius=100.0, time_gap=30.0,
+    )
+    assert not bool(found) and int(idx) == -1
+
+
+def test_nearest_neighbors_bruteforce(rng):
+    src = rng.normal(size=(100, 3)).astype(np.float32)
+    dst = rng.normal(size=(3000, 3)).astype(np.float32) * 2
+    idx, d2 = nearest_neighbors(
+        jnp.asarray(src), jnp.asarray(dst), jnp.ones((3000,), bool), chunk=512
+    )
+    # compare vs numpy brute force
+    ref = np.argmin(
+        ((src[:, None] - dst[None]) ** 2).sum(-1), axis=1
+    )
+    np.testing.assert_array_equal(np.asarray(idx), ref)
+
+
+def test_icp_recovers_transform(rng):
+    pts = rng.uniform(-5, 5, size=(2000, 3)).astype(np.float32)
+    pts[:, 2] = 0.2 * pts[:, 0] + 0.1 * pts[:, 1]  # non-degenerate surface
+    pts[::7, 2] += rng.uniform(0.5, 2.0, size=pts[::7, 2].shape)  # structure
+    w = np.array([0.02, -0.03, 0.05], np.float32)
+    t = np.array([0.4, -0.3, 0.2], np.float32)
+    T_true = se3.make(so3.exp(jnp.asarray(w)), jnp.asarray(t))
+    dst = np.asarray(se3.apply(T_true, jnp.asarray(pts)[None])[0])
+    T, fitness, n_corr = icp_align(
+        jnp.asarray(pts), jnp.ones((2000,), bool),
+        jnp.asarray(dst), jnp.ones((2000,), bool),
+        max_iterations=20, max_corr_dist=5.0, nn_chunk=512,
+    )
+    err = np.asarray(se3.log(se3.compose(se3.inverse(T_true), T)))
+    assert np.abs(err).max() < 5e-3, err
+    assert float(fitness) < 1e-4
+
+
+def test_verify_loop_accepts_true_loop(rng):
+    """Two revisits of the same scene with drifted poses: verify_loop must
+    accept and return the drift-correcting relative pose."""
+    n_kf, P = 12, 1024
+    # scene: many small planar patches with random orientations — rich
+    # constraints in all 6 DoF (a sliding-prone surface would stall ICP)
+    patches = []
+    for _ in range(40):
+        c = rng.uniform(-8, 8, size=3)
+        c[2] = abs(c[2]) * 0.3
+        n = rng.normal(size=3)
+        n /= np.linalg.norm(n)
+        u = np.cross(n, [1.0, 0.0, 0.0])
+        if np.linalg.norm(u) < 0.1:
+            u = np.cross(n, [0.0, 1.0, 0.0])
+        u /= np.linalg.norm(u)
+        v = np.cross(n, u)
+        uv = rng.uniform(-1.0, 1.0, size=(100, 2))
+        patches.append(c + uv[:, :1] * u + uv[:, 1:] * v)
+    scene = np.concatenate(patches).astype(np.float32)
+    clouds = np.zeros((n_kf, P, 3), np.float32)
+    masks = np.zeros((n_kf, P), bool)
+    poses_np = []
+    for k in range(n_kf):
+        a = 2 * np.pi * k / n_kf
+        p = np.array([3 * np.cos(a), 3 * np.sin(a), 0.5], np.float32)
+        R = np.eye(3, dtype=np.float32)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3], T[:3, 3] = R, p
+        poses_np.append(T)
+        # keyframe cloud = scene points near the pose, in body frame
+        d = np.linalg.norm(scene - p, axis=1)
+        sel = np.argsort(d)[:P]
+        clouds[k] = scene[sel] - p
+        masks[k] = True
+    poses = jnp.asarray(np.stack(poses_np))
+    # drift the LAST pose: the loop should recover it
+    drift = np.array([0.3, -0.2, 0.1], np.float32)
+    poses_drift = poses.at[n_kf - 1, :3, 3].add(jnp.asarray(drift))
+    cfg = LoopConfig(
+        num_submap_keyframes=0, voxel_res=0.2, submap_points=4096,
+        max_iterations=30, nn_chunk=512, radius=10.0, trim_fraction=0.7,
+    )
+    rel, sqrt_info, accepted, fitness = verify_loop(
+        jnp.asarray(clouds), jnp.asarray(masks), poses_drift,
+        jnp.ones((n_kf,), bool), n_kf - 1, 0, cfg,
+    )
+    assert bool(accepted), float(fitness)
+    # applying the factor: T_from = poses_drift[11] should satisfy
+    # T_from_corrected = T_to · rel⁻¹; the recovered translation correction
+    # should cancel the injected drift
+    T_to = poses[0]
+    T_from_corr = se3.compose(T_to, se3.inverse(rel))
+    corr = np.asarray(se3.trans(T_from_corr) - se3.trans(poses[n_kf - 1]))
+    # trimmed ICP on partially-overlapping submaps: the loop factor should
+    # cancel most of the injected 0.37 m drift
+    assert np.linalg.norm(corr) < 0.12, corr
