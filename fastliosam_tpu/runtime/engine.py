@@ -1,0 +1,357 @@
+"""The SLAM engine: deterministic dataset-driven orchestration.
+
+Replaces the reference's ROS wiring (`FastLioSam` node, SURVEY.md §1 L2 +
+§3.1-3.3): no callbacks/timers/mutexes — a single `process()` call per scan
+advances odometry (jitted, device-resident state), decides keyframes,
+assembles factors (odometry between-factors, GPS unary factors with the
+reference's gating rules), runs loop detection + ICP verification at a
+fixed cadence, and re-solves the pose graph. Realtime pose output uses the
+reference's delta-chaining (`fast_lio_sam.cpp:374-384`):
+
+    corrected(t) = last_corrected_kf · (raw_kf⁻¹ · raw(t))
+
+Device state (filter, voxel map, keyframe SoA, factor graph) stays on the
+accelerator; the host only reads back small scalars (keyframe decision,
+loop accept flags) at keyframe cadence.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core import se3
+from ..core.geodesy import LocalCartesian
+from ..core.pointcloud import Cloud, compact, voxel_downsample
+from ..loop import LoopConfig, fetch_closest_keyframe_idx, verify_loop
+from ..map import VoxelMapConfig
+from ..odom import ImuBatch, OdomConfig, Scan, init_odom, odom_step
+from ..pgo import (
+    PoseGraph,
+    PoseGraphConfig,
+    add_between,
+    add_gps,
+    add_keyframe,
+    make_graph,
+    solve,
+)
+
+
+class EngineConfig(NamedTuple):
+    """PGO-node parameter surface (reference `config.yaml` + defaults at
+    `fast_lio_sam.cpp:64-98`)."""
+
+    keyframe_threshold: float = 1.0  # config.yaml:7 (m between keyframes)
+    loop_check_every: int = 5  # scans between loop attempts (2 Hz @ 10 Hz)
+    kf_cloud_points: int = 4096  # stored per-keyframe cloud budget
+    kf_cloud_voxel: float = 0.3
+    # GPS gating (config.yaml:26-30, fast_lio_sam.cpp:177-260)
+    use_gps: bool = False
+    gps_cov_thres: float = 2.0
+    gps_dist_thres: float = 5.0
+    min_traj_len: float = 5.0
+    use_gps_elevation: bool = False
+    gps_time_tol: float = 0.05
+    gps_noise_floor: float = 1.0
+    # odometry between-factor noise (fast_lio_sam.cpp:471-474:
+    # Variances rad²=1e-4, m²=1e-2 -> sqrt info [10, 100])
+    odom_trans_sqrt_info: float = 10.0
+    odom_rot_sqrt_info: float = 100.0
+
+
+class GpsFix(NamedTuple):
+    stamp: float
+    lat: float
+    lon: float
+    alt: float
+    cov_xyz: tuple  # (var_x, var_y, var_z)
+    status: int = 0
+
+
+@dataclass
+class KeyframeStore:
+    """Fixed-capacity keyframe SoA (PosePcd analog, `pose_pcd.hpp:7-43`):
+    clouds stored in body frame, raw + corrected poses, stamps."""
+
+    clouds: jnp.ndarray  # (K, P, 3)
+    masks: jnp.ndarray  # (K, P)
+    raw_poses: jnp.ndarray  # (K, 4, 4) odometry frame
+    stamps: jnp.ndarray  # (K,)
+    n: int = 0
+
+    @staticmethod
+    def create(max_kf: int, points: int) -> "KeyframeStore":
+        return KeyframeStore(
+            clouds=jnp.zeros((max_kf, points, 3), jnp.float32),
+            masks=jnp.zeros((max_kf, points), bool),
+            raw_poses=jnp.broadcast_to(
+                jnp.eye(4, dtype=jnp.float32), (max_kf, 4, 4)
+            ),
+            stamps=jnp.zeros((max_kf,), jnp.float32),
+        )
+
+
+def _downsample_to_budget(xyz, mask, voxel, budget):
+    ds = compact(voxel_downsample(Cloud(xyz=xyz, mask=mask), voxel))
+    return ds.xyz[:budget], ds.mask[:budget]
+
+
+class SlamEngine:
+    """Full pipeline: odometry + keyframing + loop closure + PGO + GPS."""
+
+    def __init__(
+        self,
+        odom_cfg: OdomConfig = OdomConfig(),
+        map_cfg: VoxelMapConfig = VoxelMapConfig(),
+        loop_cfg: LoopConfig = LoopConfig(),
+        pgo_cfg: PoseGraphConfig = PoseGraphConfig(),
+        cfg: EngineConfig = EngineConfig(),
+    ):
+        self.odom_cfg = odom_cfg
+        self.map_cfg = map_cfg
+        self.loop_cfg = loop_cfg
+        self.pgo_cfg = pgo_cfg
+        self.cfg = cfg
+
+        self.odom = init_odom(map_cfg)
+        self.graph: PoseGraph = make_graph(pgo_cfg)
+        self.kf = KeyframeStore.create(pgo_cfg.max_keyframes, cfg.kf_cloud_points)
+
+        self.last_kf_raw = jnp.eye(4, dtype=jnp.float32)
+        self.last_kf_corrected = jnp.eye(4, dtype=jnp.float32)
+        self.scan_count = 0
+        self.loop_pairs: list[tuple[int, int]] = []
+        self.raw_traj: list[np.ndarray] = []  # per-scan raw odometry poses
+        self.realtime_traj: list[np.ndarray] = []  # per-scan corrected poses
+        self.scan_stamps: list[float] = []
+        self.traj_len = 0.0
+        self._last_p = None
+        # GPS state (gpsCallback analog)
+        self.gps_anchor: Optional[LocalCartesian] = None
+        # SLAM-frame position of the vehicle when the ENU anchor was set:
+        # gps_in_slam = enu + offset. (The reference assumes the SLAM origin
+        # coincides with the first fix; this generalizes that.)
+        self.gps_slam_offset = np.zeros(3)
+        self.gps_queue: list[tuple[float, np.ndarray, np.ndarray]] = []
+        self.last_gps_factor_pos: Optional[np.ndarray] = None
+        self.solve_count = 0
+        self._needs_solve = False
+
+        self._jit_odom = jax.jit(
+            lambda s, scan, imu, dt: odom_step(
+                s, scan, imu, dt, self.odom_cfg, self.map_cfg
+            ),
+            donate_argnums=(0,),
+        )
+        self._jit_solve = jax.jit(lambda g: solve(g, self.pgo_cfg))
+        self._jit_detect = jax.jit(
+            lambda pos, stamps, valid, q: fetch_closest_keyframe_idx(
+                pos, stamps, valid, q, self.loop_cfg.radius, self.loop_cfg.time_gap
+            )
+        )
+        self._jit_verify = jax.jit(
+            lambda cl, mk, poses, valid, qi, ci: verify_loop(
+                cl, mk, poses, valid, qi, ci, self.loop_cfg
+            )
+        )
+        self._jit_downsample = jax.jit(
+            lambda xyz, mask: _downsample_to_budget(
+                xyz, mask, cfg.kf_cloud_voxel, cfg.kf_cloud_points
+            )
+        )
+
+    # ------------------------------------------------------------------
+    # per-scan entry point
+    # ------------------------------------------------------------------
+    def process(self, scan: Scan, imu: ImuBatch, stamp: float, scan_dt: float,
+                gps: Optional[list] = None):
+        """Advance the pipeline by one scan. Returns the realtime corrected
+        pose (4,4) numpy."""
+        for fix in gps or []:
+            self._on_gps(fix)
+
+        self.odom, aux = self._jit_odom(
+            self.odom, scan, imu, jnp.float32(scan_dt)
+        )
+        raw_T = se3.make(aux["R"], aux["p"])
+
+        # realtime correction by delta-chaining (fast_lio_sam.cpp:374-384)
+        delta = se3.between(self.last_kf_raw, raw_T)
+        corrected_T = se3.compose(self.last_kf_corrected, delta)
+
+        p_np = np.asarray(aux["p"])
+        if self._last_p is not None:
+            self.traj_len += float(np.linalg.norm(p_np - self._last_p))
+        self._last_p = p_np
+        self.raw_traj.append(np.asarray(raw_T))
+        self.realtime_traj.append(np.asarray(corrected_T))
+        self.scan_stamps.append(float(stamp))
+
+        # keyframe decision (checkIfKeyframe, fast_lio_sam.cpp:1093-1096)
+        if self.kf.n == 0:
+            self._add_keyframe(raw_T, corrected_T, aux, stamp)
+        else:
+            dist = float(
+                np.linalg.norm(
+                    np.asarray(se3.trans(raw_T) - se3.trans(self.last_kf_raw))
+                )
+            )
+            if dist > self.cfg.keyframe_threshold:
+                self._add_keyframe(raw_T, corrected_T, aux, stamp)
+
+        # loop-closure cadence (2 Hz timer analog, config.yaml:3)
+        if (
+            self.scan_count % self.cfg.loop_check_every == 0
+            and self.kf.n > 1
+        ):
+            self._attempt_loop()
+
+        if self._needs_solve:
+            self._solve()
+
+        self.scan_count += 1
+        return np.asarray(corrected_T)
+
+    # ------------------------------------------------------------------
+    def _add_keyframe(self, raw_T, corrected_T, aux, stamp):
+        k = self.kf.n
+        if k >= self.pgo_cfg.max_keyframes:
+            return
+        # store body-frame cloud (PosePcd stores LiDAR-frame clouds,
+        # pose_pcd.hpp:39-40) — here: scan-end body frame points
+        body = se3.apply_inverse(raw_T, aux["cloud_world"][None])[0]
+        cl, mk = self._jit_downsample(body, aux["cloud_mask"])
+        self.kf.clouds = self.kf.clouds.at[k].set(cl)
+        self.kf.masks = self.kf.masks.at[k].set(mk)
+        self.kf.raw_poses = self.kf.raw_poses.at[k].set(raw_T)
+        self.kf.stamps = self.kf.stamps.at[k].set(stamp)
+        self.kf.n = k + 1
+
+        self.graph = add_keyframe(self.graph, corrected_T)
+        if k > 0:
+            rel = se3.between(self.kf.raw_poses[k - 1], raw_T)
+            sqrt_info = jnp.asarray(
+                [self.cfg.odom_trans_sqrt_info] * 3
+                + [self.cfg.odom_rot_sqrt_info] * 3,
+                jnp.float32,
+            )
+            self.graph = add_between(self.graph, k - 1, k, rel, sqrt_info)
+        self.last_kf_raw = raw_T
+        self.last_kf_corrected = corrected_T
+
+        if self.cfg.use_gps:
+            self._try_add_gps_factor(k, stamp, corrected_T)
+
+    # ------------------------------------------------------------------
+    def _attempt_loop(self):
+        k = self.kf.n
+        positions = se3.trans(self.graph.poses)
+        idx, found = self._jit_detect(
+            positions, self.kf.stamps, self.graph.kf_valid, k - 1
+        )
+        if not bool(found):
+            return
+        cand = int(idx)
+        rel, sqrt_info, accepted, fitness = self._jit_verify(
+            self.kf.clouds,
+            self.kf.masks,
+            self.graph.poses,
+            self.graph.kf_valid,
+            jnp.int32(k - 1),
+            jnp.int32(cand),
+        )
+        if bool(accepted):
+            self.graph = add_between(self.graph, k - 1, cand, rel, sqrt_info)
+            self.loop_pairs.append((k - 1, cand))
+            self._needs_solve = True
+
+    # ------------------------------------------------------------------
+    def _solve(self):
+        self.graph, cost = self._jit_solve(self.graph)
+        self.solve_count += 1
+        self._needs_solve = False
+        k = self.kf.n
+        # feedback: re-anchor realtime correction at the latest keyframe
+        # (fast_lio_sam.cpp:515-537 corrected-estimate readback)
+        self.last_kf_corrected = self.graph.poses[k - 1]
+        self.last_kf_raw = self.kf.raw_poses[k - 1]
+
+    # ------------------------------------------------------------------
+    # GPS path (gpsCallback + add_gps_factor, fast_lio_sam.cpp:148-260)
+    # ------------------------------------------------------------------
+    def _on_gps(self, fix: GpsFix):
+        if fix.status != 0:  # reject non-fix solutions (:151-152)
+            return
+        if self.gps_anchor is None:
+            self.gps_anchor = LocalCartesian.from_origin(
+                fix.lat, fix.lon, fix.alt
+            )
+            if self.realtime_traj:
+                self.gps_slam_offset = self.realtime_traj[-1][:3, 3].copy()
+        enu = np.asarray(
+            self.gps_anchor.forward(
+                jnp.asarray(fix.lat), jnp.asarray(fix.lon), jnp.asarray(fix.alt)
+            )
+        ) + self.gps_slam_offset
+        self.gps_queue.append(
+            (fix.stamp, enu, np.sqrt(np.asarray(fix.cov_xyz)))
+        )
+
+    def _try_add_gps_factor(self, kf_idx, kf_stamp, corrected_T):
+        cfg = self.cfg
+        if self.traj_len < cfg.min_traj_len:  # :183-189
+            return
+        # queue scrub around the keyframe stamp (:198-209)
+        while self.gps_queue and self.gps_queue[0][0] < kf_stamp - cfg.gps_time_tol:
+            self.gps_queue.pop(0)
+        if not self.gps_queue:
+            return
+        stamp, enu, noise = self.gps_queue[0]
+        if stamp > kf_stamp + cfg.gps_time_tol:
+            return
+        self.gps_queue.pop(0)
+        if noise[0] > cfg.gps_cov_thres or noise[1] > cfg.gps_cov_thres:  # :216-220
+            return
+        if np.allclose(enu, 0.0):  # skip (0,0,0) (:236)
+            return
+        if (
+            self.last_gps_factor_pos is not None
+            and np.linalg.norm(enu[:2] - self.last_gps_factor_pos[:2])
+            < cfg.gps_dist_thres
+        ):  # :244-247
+            return
+        z = enu.copy()
+        if not cfg.use_gps_elevation:  # z from SLAM (:228-233)
+            z[2] = float(se3.trans(corrected_T)[2])
+            noise = noise.copy()
+            noise[2] = 0.01
+        noise = np.maximum(noise, cfg.gps_noise_floor)  # :252
+        sqrt_info = jnp.asarray(1.0 / noise, jnp.float32)
+        self.graph = add_gps(
+            self.graph, kf_idx, jnp.asarray(z, jnp.float32), sqrt_info
+        )
+        self.last_gps_factor_pos = enu
+        self._needs_solve = True
+
+    # ------------------------------------------------------------------
+    # outputs
+    # ------------------------------------------------------------------
+    def keyframe_poses(self):
+        """Corrected keyframe poses (n, 4, 4) numpy."""
+        return np.asarray(self.graph.poses[: self.kf.n])
+
+    def keyframe_stamps(self):
+        return np.asarray(self.kf.stamps[: self.kf.n])
+
+    def assemble_map(self, voxel: float = 0.3, max_points: int = 1 << 20):
+        """Global corrected map (saveFlagCallback/visTimer map assembly,
+        `fast_lio_sam.cpp:781-799,888-938`)."""
+        world = se3.apply(self.graph.poses[: self.kf.n], self.kf.clouds[: self.kf.n])
+        flat = world.reshape(-1, 3)
+        fmask = self.kf.masks[: self.kf.n].reshape(-1)
+        ds = compact(voxel_downsample(Cloud(xyz=flat, mask=fmask), voxel))
+        pts = np.asarray(ds.xyz)[np.asarray(ds.mask)]
+        return pts[:max_points]

@@ -92,7 +92,8 @@ class PlaneWorld:
             t = num / denom
         t = np.where(np.abs(denom) > 1e-9, t, np.inf)
         t = np.where(t > 1e-6, t, np.inf)
-        hit_pts = origins[:, None] + t[..., None] * dirs[:, None]  # (N,K,3)
+        t_safe = np.where(np.isfinite(t), t, 0.0)
+        hit_pts = origins[:, None] + t_safe[..., None] * dirs[:, None]  # (N,K,3)
         rel = hit_pts - c[None]
         ulen2 = np.sum(self.us * self.us, axis=-1)  # (K,)
         vlen2 = np.sum(self.vs * self.vs, axis=-1)

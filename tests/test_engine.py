@@ -1,0 +1,157 @@
+"""End-to-end engine tests: full pipeline on the synthetic world.
+
+The runtime analog of the reference's dataset-replay validation
+(SURVEY.md §4), but deterministic and assertable.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from fastliosam_tpu.core.geodesy import LocalCartesian
+from fastliosam_tpu.loop import LoopConfig
+from fastliosam_tpu.map import VoxelMapConfig
+from fastliosam_tpu.odom import ImuBatch, OdomConfig, Scan
+from fastliosam_tpu.pgo import PoseGraphConfig
+from fastliosam_tpu.runtime import EngineConfig, GpsFix, SlamEngine
+from fastliosam_tpu.sim import PlaneWorld, SimConfig, Trajectory, simulate_sequence
+
+ANCHOR = (22.3193, 114.1694, 10.0)
+
+
+def make_engine(use_gps=False):
+    return SlamEngine(
+        odom_cfg=OdomConfig(
+            point_filter_num=1,
+            blind=0.5,
+            filter_size_surf=0.3,
+            num_ds_points=2048,
+            evict_every=10_000,
+        ),
+        map_cfg=VoxelMapConfig(capacity=1 << 16, voxel_size=0.4, min_points=4),
+        loop_cfg=LoopConfig(
+            radius=8.0,
+            time_gap=6.0,
+            num_submap_keyframes=2,
+            voxel_res=0.25,
+            submap_points=8192,
+            max_iterations=25,
+            nn_chunk=1024,
+        ),
+        pgo_cfg=PoseGraphConfig(
+            max_keyframes=128, max_between=256, max_gps=64,
+            lm_iters=8, pcg_iters=96,
+        ),
+        cfg=EngineConfig(
+            keyframe_threshold=0.5,
+            loop_check_every=4,
+            kf_cloud_points=2048,
+            kf_cloud_voxel=0.25,
+            use_gps=use_gps,
+            gps_dist_thres=2.0,
+            min_traj_len=3.0,
+        ),
+    )
+
+
+@pytest.fixture(scope="module")
+def loop_run():
+    """~1.3 laps of a small circle: the second pass must trigger loops."""
+    world = PlaneWorld.room(size=30.0, height=6.0, n_boxes=10, seed=1)
+    traj = Trajectory.circle(radius=8.0, period=16.0)
+    cfg = SimConfig(
+        scan_rate=5.0,
+        n_azimuth=256,
+        n_elev=10,
+        gyro_noise=0.001,
+        acc_noise=0.01,
+        gyro_bias=(0, 0, 0),
+        acc_bias=(0, 0, 0),
+        seed=3,
+    )
+    n_scans = 105  # 21 s -> 1.3 laps
+    data = simulate_sequence(world, traj, cfg, n_scans=n_scans)
+    return data, traj
+
+
+def run_engine(engine, data, traj, gps_fixes=None):
+    R0, p0 = traj.pose(0.0)
+    nav = engine.odom.nav._replace(
+        R=jnp.asarray(R0, jnp.float32),
+        p=jnp.asarray(p0, jnp.float32),
+        v=jnp.asarray(traj.velocity(0.0), jnp.float32),
+    )
+    engine.odom = engine.odom._replace(nav=nav)
+    poses = []
+    gps_iter = list(gps_fixes or [])
+    for k in range(len(data["scans"])):
+        pts, toff, mask = data["scans"][k]
+        scan = Scan(jnp.asarray(pts), jnp.asarray(toff), jnp.asarray(mask))
+        ts, gy, ac = data["imu"][k]
+        n = len(ts)
+        cap = 64
+        imu = ImuBatch(
+            stamps=jnp.asarray(np.pad(ts, (0, cap - n), constant_values=1e9)),
+            gyro=jnp.asarray(np.pad(gy, ((0, cap - n), (0, 0)))),
+            acc=jnp.asarray(np.pad(ac, ((0, cap - n), (0, 0)))),
+            mask=jnp.asarray(np.arange(cap) < n),
+        )
+        stamp = data["stamps"][k]
+        fixes = [f for f in gps_iter if stamp - 0.2 <= f.stamp <= stamp]
+        poses.append(engine.process(scan, imu, stamp, data["scan_dt"], gps=fixes))
+    return np.stack(poses)
+
+
+def test_full_pipeline_with_loops(loop_run):
+    data, traj = loop_run
+    engine = make_engine()
+    poses = run_engine(engine, data, traj)
+    assert engine.kf.n > 10
+    assert len(engine.loop_pairs) >= 1, "no loop closures found on revisit"
+    assert engine.solve_count >= 1
+    # trajectory accuracy after PGO
+    errs = []
+    for k in range(len(data["scans"])):
+        _, p_gt = data["gt"][k]
+        errs.append(np.linalg.norm(poses[k][:3, 3] - p_gt))
+    ate = float(np.sqrt(np.mean(np.square(errs))))
+    assert ate < 0.3, f"full-pipeline ATE {ate}"
+    # keyframe poses stay consistent after solve
+    kf_poses = engine.keyframe_poses()
+    assert np.all(np.isfinite(kf_poses))
+
+
+def test_map_assembly(loop_run):
+    data, traj = loop_run
+    engine = make_engine()
+    run_engine(engine, data, traj)
+    pts = engine.assemble_map(voxel=0.4)
+    assert len(pts) > 1000
+    # the map must stay within the room bounds (30 m + margin)
+    assert np.abs(pts).max() < 40.0
+
+
+def test_gps_fusion(loop_run):
+    """GPS fixes (geodetic, via the ENU anchor) must produce gps factors and
+    keep the trajectory georeferenced."""
+    data, traj = loop_run
+    lc = LocalCartesian.from_origin(*ANCHOR)
+    fixes = []
+    for (tg, xyz, noise) in data["gps"]:
+        lat, lon, alt = lc.reverse(jnp.asarray(xyz, jnp.float32))
+        fixes.append(
+            GpsFix(
+                stamp=float(tg),
+                lat=float(lat),
+                lon=float(lon),
+                alt=float(alt),
+                cov_xyz=(0.25, 0.25, 1.0),
+            )
+        )
+    engine = make_engine(use_gps=True)
+    poses = run_engine(engine, data, traj, gps_fixes=fixes)
+    assert int(engine.graph.n_gps) >= 2, "no gps factors added"
+    errs = [
+        np.linalg.norm(poses[k][:3, 3] - data["gt"][k][1])
+        for k in range(len(poses))
+    ]
+    assert float(np.sqrt(np.mean(np.square(errs)))) < 0.6
