@@ -131,3 +131,24 @@ def odom_step(
         "n_dropped": n_dropped,
     }
     return new_state, aux
+
+
+def odom_rollout(
+    state: OdomState,
+    scans: Scan,  # stacked: xyz (S, N, 3), t_offset (S, N), mask (S, N)
+    imus: ImuBatch,  # stacked: (S, M, ...)
+    scan_dt,
+    cfg: OdomConfig,
+    map_cfg: vh.VoxelMapConfig,
+):
+    """Run ``S`` scans in a single `lax.scan` — one XLA dispatch for the
+    whole sequence (throughput path; also the benchmark harness). Returns
+    the final state plus per-scan poses and match counts."""
+
+    def step(s, inp):
+        scan, imu = inp
+        s2, aux = odom_step(s, scan, imu, scan_dt, cfg, map_cfg)
+        return s2, (aux["R"], aux["p"], aux["n_matched"])
+
+    state, (Rs, ps, matched) = jax.lax.scan(step, state, (scans, imus))
+    return state, {"R": Rs, "p": ps, "n_matched": matched}

@@ -1,0 +1,3 @@
+from .mesh import make_mesh, shard_leading, replicate  # noqa: F401
+from .sharded_pgo import solve_sharded  # noqa: F401
+from .sharded_match import sharded_gram  # noqa: F401

@@ -176,6 +176,9 @@ class SimConfig:
     lidar_R: np.ndarray = field(default_factory=lambda: np.eye(3))
     lidar_t: np.ndarray = field(default_factory=lambda: np.zeros(3))
     seed: int = 0
+    # quantize per-point capture times to this many groups per sweep (fewer
+    # pose evaluations during generation; None = exact per-azimuth-column)
+    time_groups: int | None = None
 
 
 def _ray_dirs(cfg: SimConfig):
@@ -221,7 +224,10 @@ def simulate_sequence(
         t_end = t0 + (k + 1) * scan_T
         t_start = t_end - scan_T
         # --- LiDAR: each azimuth column cast from its own-time pose ---
-        pt_times = t_start + t_frac * scan_T
+        frac = t_frac
+        if cfg.time_groups is not None:
+            frac = np.floor(t_frac * cfg.time_groups) / cfg.time_groups
+        pt_times = t_start + frac * scan_T
         # group by unique azimuth time to limit pose evaluations
         pts = np.zeros((n_rays, 3))
         hits = np.zeros((n_rays,), bool)

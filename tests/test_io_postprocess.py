@@ -1,0 +1,204 @@
+import os
+
+import numpy as np
+import pytest
+
+from fastliosam_tpu.eval import align_umeyama, ate_rmse, rpe
+from fastliosam_tpu.io import (
+    read_kitti_poses,
+    read_pcd,
+    read_tum_trajectory,
+    write_kitti_poses,
+    write_pcd,
+    write_tum_trajectory,
+    unix_to_readable,
+)
+from fastliosam_tpu.io.pcd import with_xyz, xyz_of
+from fastliosam_tpu.postprocess import (
+    Similarity2D,
+    euclidean_clusters,
+    fit_similarity_2d,
+    georeference_trajectory,
+    icp_2d_with_scale,
+    intensity_filter,
+    load_alignment_params,
+    match_by_timestamp,
+    ransac_ground_plane,
+    save_alignment_params,
+    sor_denoise,
+)
+
+
+def random_poses_np(rng, n):
+    from scipy.spatial.transform import Rotation as Rsc
+
+    out = np.tile(np.eye(4), (n, 1, 1))
+    out[:, :3, :3] = Rsc.from_rotvec(rng.normal(size=(n, 3))).as_matrix()
+    out[:, :3, 3] = rng.normal(size=(n, 3)) * 10
+    return out
+
+
+def test_kitti_pose_roundtrip(tmp_path, rng):
+    poses = random_poses_np(rng, 20)
+    p = tmp_path / "poses.txt"
+    write_kitti_poses(str(p), poses)
+    back = read_kitti_poses(str(p))
+    np.testing.assert_allclose(back, poses, atol=1e-6)
+
+
+def test_tum_roundtrip(tmp_path, rng):
+    poses = random_poses_np(rng, 20)
+    stamps = np.arange(20) * 0.1 + 1e9
+    p = tmp_path / "traj.tum"
+    write_tum_trajectory(str(p), stamps, poses)
+    s2, p2 = read_tum_trajectory(str(p))
+    np.testing.assert_allclose(s2, stamps, atol=1e-4)
+    np.testing.assert_allclose(p2, poses, atol=1e-4)
+
+
+def test_unix_to_readable():
+    # 2024-01-02 03:04:05.678 UTC
+    ts = 1704164645.678
+    assert unix_to_readable(ts) == "20240102030405678"
+
+
+def test_pcd_roundtrip_binary(tmp_path, rng):
+    cloud = np.zeros(
+        100,
+        dtype=[("x", "f4"), ("y", "f4"), ("z", "f4"), ("intensity", "f4"),
+               ("ring", "u2")],
+    )
+    cloud["x"] = rng.normal(size=100)
+    cloud["y"] = rng.normal(size=100)
+    cloud["z"] = rng.normal(size=100)
+    cloud["intensity"] = rng.uniform(0, 255, 100)
+    cloud["ring"] = rng.integers(0, 64, 100)
+    p = tmp_path / "c.pcd"
+    write_pcd(str(p), cloud, binary=True)
+    back = read_pcd(str(p))
+    for name in cloud.dtype.names:
+        np.testing.assert_allclose(back[name], cloud[name], atol=1e-6)
+
+
+def test_pcd_roundtrip_ascii(tmp_path, rng):
+    pts = rng.normal(size=(50, 3)).astype(np.float32)
+    p = tmp_path / "c.pcd"
+    write_pcd(str(p), pts, binary=False)
+    back = read_pcd(str(p))
+    np.testing.assert_allclose(xyz_of(back), pts, atol=1e-5)
+    shifted = with_xyz(back, xyz_of(back) + 1.0)
+    np.testing.assert_allclose(xyz_of(shifted), pts + 1.0, atol=1e-5)
+
+
+def test_umeyama_and_ate(rng):
+    src = rng.normal(size=(100, 3)) * 5
+    from scipy.spatial.transform import Rotation as Rsc
+
+    R = Rsc.from_rotvec([0.1, -0.2, 0.3]).as_matrix()
+    dst = 1.5 * src @ R.T + np.array([1, 2, 3])
+    s, R2, t = align_umeyama(src, dst, with_scale=True)
+    assert abs(s - 1.5) < 1e-6
+    np.testing.assert_allclose(R2, R, atol=1e-6)
+    assert ate_rmse(src, dst, align=True, with_scale=True) < 1e-6
+    rigid = src @ R.T + np.array([1, 2, 3])
+    assert ate_rmse(src, rigid, align=True) < 1e-6
+    assert ate_rmse(src, dst, align=False) > 1.0
+
+
+def test_rpe_zero_for_equal(rng):
+    poses = random_poses_np(rng, 10)
+    t, r = rpe(poses, poses)
+    assert t < 1e-9 and r < 1e-6
+
+
+def test_match_by_timestamp():
+    a = np.array([0.0, 1.0, 2.0, 3.0])
+    b = np.array([0.05, 1.4, 2.02, 10.0])
+    ia, ib = match_by_timestamp(a, b, tol=0.1)
+    assert list(ia) == [0, 2]
+    assert list(ib) == [0, 2]
+
+
+def test_similarity_fit_and_icp(rng):
+    # trajectory-shaped source (like SLAM/GPS paths in the reference usage)
+    tgrid = np.linspace(0, 6, 200)
+    src = np.column_stack([tgrid * 15, 10 * np.sin(tgrid)])
+    true = Similarity2D(scale=1.3, theta=0.4, tx=5.0, ty=-2.0)
+    dst = true.apply(src)
+    fit = fit_similarity_2d(src, dst)
+    assert abs(fit.scale - 1.3) < 1e-6
+    assert abs(fit.theta - 0.4) < 1e-6
+    # ICP variant: unordered correspondence, rough init
+    perm = rng.permutation(200)
+    sim, rms = icp_2d_with_scale(
+        src, dst[perm], iters=100,
+        init=Similarity2D(scale=1.15, theta=0.3, tx=8.0, ty=-5.0),
+    )
+    # point-to-point ICP on curves plateaus at the NN-assignment optimum;
+    # sub-meter rms over a ~90 m path is the expected behavior
+    assert rms < 0.5, rms
+    assert abs(sim.scale - 1.3) < 0.06
+    assert abs(sim.theta - 0.4) < 0.05
+
+
+def test_alignment_params_roundtrip(tmp_path):
+    sim = Similarity2D(scale=1.1, theta=0.2, tx=3.0, ty=4.0, tz=1.0)
+    p = tmp_path / "params.json"
+    save_alignment_params(str(p), sim, extra={"note": "test"})
+    back = load_alignment_params(str(p))
+    assert back == sim
+
+
+def test_georeference_trajectory(rng):
+    # SLAM path + GPS derived from it through a known similarity
+    n = 50
+    stamps = np.arange(n) * 1.0
+    slam = np.column_stack(
+        [np.linspace(0, 100, n), np.sin(np.linspace(0, 6, n)) * 10, np.zeros(n)]
+    )
+    true = Similarity2D(scale=1.0, theta=0.3, tx=100.0, ty=-50.0)
+    enu = true.apply(slam[:, :2])
+    from fastliosam_tpu.core.geodesy import LocalCartesian
+    import jax.numpy as jnp
+
+    anchor = LocalCartesian.from_origin(22.3, 114.2, 0.0)
+    lat, lon, _ = anchor.reverse(
+        jnp.asarray(np.column_stack([enu, np.zeros(n)]), jnp.float32)
+    )
+    lat2, lon2, sim, report = georeference_trajectory(
+        stamps, slam, stamps, np.asarray(lat), np.asarray(lon)
+    )
+    assert report["mean_error_m"] < 1.0
+    assert report["n_pairs"] == n
+    # output lat/lon must be close to the GPS-derived ones
+    assert np.abs(np.asarray(lat2) - np.asarray(lat)).max() < 1e-4
+
+
+def test_sor_and_ransac(rng):
+    ground = np.column_stack(
+        [rng.uniform(-10, 10, 500), rng.uniform(-10, 10, 500),
+         rng.normal(size=500) * 0.02]
+    )
+    outliers = rng.uniform(-10, 10, size=(20, 3)) + np.array([0, 0, 5.0])
+    pts = np.vstack([ground, outliers])
+    keep = sor_denoise(pts, nb_neighbors=10, std_ratio=1.5)
+    assert keep[:500].mean() > 0.9
+    assert keep[500:].mean() < 0.5
+    plane, inliers = ransac_ground_plane(pts, 0.1)
+    assert abs(plane[2]) > 0.99  # normal ~ +z
+    assert inliers[:500].mean() > 0.95
+
+
+def test_clustering(rng):
+    c1 = rng.normal(size=(50, 3)) * 0.2
+    c2 = rng.normal(size=(60, 3)) * 0.2 + np.array([5, 0, 0])
+    noise = np.array([[20.0, 20, 20]])
+    pts = np.vstack([c1, c2, noise])
+    labels = euclidean_clusters(pts, eps=0.8, min_points=10)
+    assert labels[:50].max() == labels[:50].min() >= 0
+    assert labels[50:110].max() == labels[50:110].min() >= 0
+    assert labels[:50].max() != labels[50:110].max()
+    assert labels[-1] == -1
+    assert intensity_filter(np.array([1.0, 5.0, 10.0]), 5.0).tolist() == [
+        False, True, True,
+    ]
