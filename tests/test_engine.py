@@ -120,7 +120,7 @@ def test_full_pipeline_with_loops(loop_run):
     assert np.all(np.isfinite(kf_poses))
 
 
-def test_map_assembly(loop_run):
+def test_map_assembly_and_persistence(loop_run, tmp_path):
     data, traj = loop_run
     engine = make_engine()
     run_engine(engine, data, traj)
@@ -128,6 +128,51 @@ def test_map_assembly(loop_run):
     assert len(pts) > 1000
     # the map must stay within the room bounds (30 m + margin)
     assert np.abs(pts).max() < 40.0
+
+    # --- result export (saveFlagCallback parity) ---
+    from fastliosam_tpu.io import read_kitti_poses, read_tum_trajectory
+    from fastliosam_tpu.io.pcd import read_pcd, xyz_of
+    from fastliosam_tpu.runtime import load_checkpoint, save_checkpoint, save_results
+
+    paths = save_results(engine, str(tmp_path), "simtest", map_voxel=0.4)
+    kposes = read_kitti_poses(paths["kitti"])
+    assert len(kposes) == engine.kf.n
+    np.testing.assert_allclose(kposes, engine.keyframe_poses(), atol=1e-5)
+    stamps, tposes = read_tum_trajectory(paths["tum"])
+    assert len(stamps) == engine.kf.n
+    map_cloud = read_pcd(paths["map_pcd"])
+    assert len(map_cloud) == len(pts)
+    np.testing.assert_allclose(
+        np.sort(xyz_of(map_cloud), axis=0), np.sort(pts, axis=0), atol=1e-4
+    )
+
+    # --- checkpoint/resume roundtrip ---
+    ckpt = str(tmp_path / "ckpt.npz")
+    save_checkpoint(engine, ckpt)
+    engine2 = make_engine()
+    load_checkpoint(engine2, ckpt)
+    assert engine2.kf.n == engine.kf.n
+    assert engine2.scan_count == engine.scan_count
+    np.testing.assert_allclose(
+        engine2.keyframe_poses(), engine.keyframe_poses(), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(engine2.odom.nav.p), np.asarray(engine.odom.nav.p), atol=1e-6
+    )
+    # the resumed engine keeps processing
+    pts2, toff2, mask2 = data["scans"][-1]
+    scan = Scan(jnp.asarray(pts2), jnp.asarray(toff2), jnp.asarray(mask2))
+    ts, gy, ac = data["imu"][-1]
+    cap = 64
+    n = len(ts)
+    imu = ImuBatch(
+        stamps=jnp.asarray(np.pad(ts, (0, cap - n), constant_values=1e9)),
+        gyro=jnp.asarray(np.pad(gy, ((0, cap - n), (0, 0)))),
+        acc=jnp.asarray(np.pad(ac, ((0, cap - n), (0, 0)))),
+        mask=jnp.asarray(np.arange(cap) < n),
+    )
+    out = engine2.process(scan, imu, data["stamps"][-1] + 0.2, data["scan_dt"])
+    assert np.all(np.isfinite(out))
 
 
 def test_gps_fusion(loop_run):
