@@ -1,0 +1,216 @@
+#!/usr/bin/env python
+"""Run the full SLAM pipeline over a dataset directory (the `run.launch`
+analog — dataset selection, engine configuration, result export).
+
+Examples:
+  python scripts/run_slam.py --dataset kitti --root /data/kitti --seq 07 \
+      --out out/kitti07
+  python scripts/run_slam.py --dataset sim --out out/sim --n-scans 200
+  python scripts/run_slam.py --dataset generic --root /data/recording \
+      --use-gps --out out/rec
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_engine(args):
+    import jax.numpy as jnp  # noqa: F401
+
+    from fastliosam_tpu.loop import LoopConfig
+    from fastliosam_tpu.map import VoxelMapConfig
+    from fastliosam_tpu.odom import OdomConfig
+    from fastliosam_tpu.pgo import PoseGraphConfig
+    from fastliosam_tpu.runtime import EngineConfig, SlamEngine
+
+    return SlamEngine(
+        odom_cfg=OdomConfig(
+            point_filter_num=args.point_filter_num,
+            blind=args.blind,
+            filter_size_surf=args.filter_size_surf,
+            num_ds_points=args.num_ds_points,
+            det_range=args.det_range,
+            max_iteration=args.max_iteration,
+        ),
+        map_cfg=VoxelMapConfig(
+            capacity=1 << args.map_capacity_log2,
+            voxel_size=args.filter_size_map,
+        ),
+        loop_cfg=LoopConfig(
+            radius=args.loop_radius,
+            time_gap=args.loop_time_gap,
+            icp_score_threshold=args.icp_score_threshold,
+        ),
+        pgo_cfg=PoseGraphConfig(
+            max_keyframes=args.max_keyframes,
+            max_between=args.max_keyframes * 2,
+        ),
+        cfg=EngineConfig(
+            keyframe_threshold=args.keyframe_threshold,
+            use_gps=args.use_gps,
+        ),
+    )
+
+
+def run_sim(args, engine):
+    import jax.numpy as jnp
+
+    from fastliosam_tpu.odom import ImuBatch, Scan
+    from fastliosam_tpu.sim import PlaneWorld, SimConfig, Trajectory, simulate_sequence
+
+    world = PlaneWorld.room(size=50.0, height=8.0, n_boxes=20, seed=1)
+    traj = Trajectory.circle(radius=8.0, period=40.0)
+    sim_cfg = SimConfig(n_azimuth=1024, n_elev=16, time_groups=32, seed=1)
+    data = simulate_sequence(world, traj, sim_cfg, n_scans=args.n_scans)
+    cap = 64
+    t0 = time.perf_counter()
+    for k in range(args.n_scans):
+        pts, toff, mask = data["scans"][k]
+        ts, gy, ac = data["imu"][k]
+        n = len(ts)
+        imu = ImuBatch(
+            stamps=jnp.asarray(np.pad(ts, (0, cap - n), constant_values=1e9)),
+            gyro=jnp.asarray(np.pad(gy, ((0, cap - n), (0, 0)))),
+            acc=jnp.asarray(np.pad(ac, ((0, cap - n), (0, 0)))),
+            mask=jnp.asarray(np.arange(cap) < n),
+        )
+        scan = Scan(jnp.asarray(pts), jnp.asarray(toff), jnp.asarray(mask))
+        engine.process(scan, imu, data["stamps"][k], data["scan_dt"])
+    dt = time.perf_counter() - t0
+    gt = np.stack([g[1] for g in data["gt"]])
+    est = np.stack(engine.realtime_traj)[:, :3, 3]
+    from fastliosam_tpu.eval import ate_rmse
+
+    print(f"{args.n_scans} scans in {dt:.1f}s ({args.n_scans/dt:.1f} scans/s)")
+    print(f"ATE (aligned): {ate_rmse(est, gt, align=True):.4f} m")
+
+
+def run_kitti(args, engine):
+    import jax.numpy as jnp
+
+    from fastliosam_tpu.io import KittiSequence
+    from fastliosam_tpu.io.native import read_bins
+    from fastliosam_tpu.odom import ImuBatch, Scan
+
+    seq = KittiSequence(args.root, args.seq)
+    cap = args.scan_capacity
+    print(f"KITTI {args.seq}: {len(seq)} scans")
+    empty_imu = ImuBatch(
+        stamps=jnp.full((8,), 1e9, jnp.float32),
+        gyro=jnp.zeros((8, 3)),
+        acc=jnp.zeros((8, 3)),
+        mask=jnp.zeros((8,), bool),
+    )
+    t_prev = 0.0
+    for i in range(len(seq)):
+        xyz, inten, toff = seq.scan(i)
+        n = min(len(xyz), cap)
+        pad = cap - n
+        scan = Scan(
+            xyz=jnp.asarray(np.pad(xyz[:n], ((0, pad), (0, 0)), constant_values=1e6)),
+            t_offset=jnp.asarray(np.pad(toff[:n], (0, pad))),
+            mask=jnp.asarray(np.arange(cap) < n),
+        )
+        stamp = float(seq.times[i])
+        engine.process(scan, empty_imu, stamp, max(stamp - t_prev, 0.05))
+        t_prev = stamp
+        if i % 100 == 0:
+            print(f"  scan {i}/{len(seq)}")
+    gt = seq.gt_poses()
+    if gt is not None:
+        from fastliosam_tpu.eval import ate_rmse
+
+        est = np.stack(engine.realtime_traj)[:, :3, 3]
+        print(f"ATE (aligned): {ate_rmse(est, gt[: len(est), :3, 3], align=True):.3f} m")
+
+
+def run_generic(args, engine):
+    import jax.numpy as jnp
+
+    from fastliosam_tpu.io import GenericSequence
+    from fastliosam_tpu.odom import ImuBatch, Scan
+    from fastliosam_tpu.runtime import GpsFix
+
+    seq = GenericSequence(args.root)
+    cap = args.scan_capacity
+    imu_cap = 64
+    t_prev = float(seq.stamps[0]) - 0.1
+    for i in range(len(seq)):
+        xyz, inten = seq.scan(i)
+        n = min(len(xyz), cap)
+        pad = cap - n
+        stamp = float(seq.stamps[i])
+        ts, gy, ac = seq.imu_between(t_prev, stamp)
+        m = min(len(ts), imu_cap)
+        imu = ImuBatch(
+            stamps=jnp.asarray(
+                np.pad((ts[:m] - t_prev).astype(np.float32), (0, imu_cap - m),
+                       constant_values=1e9)),
+            gyro=jnp.asarray(np.pad(gy[:m].astype(np.float32),
+                                    ((0, imu_cap - m), (0, 0)))),
+            acc=jnp.asarray(np.pad(ac[:m].astype(np.float32),
+                                   ((0, imu_cap - m), (0, 0)))),
+            mask=jnp.asarray(np.arange(imu_cap) < m),
+        )
+        scan = Scan(
+            xyz=jnp.asarray(np.pad(xyz[:n], ((0, pad), (0, 0)), constant_values=1e6)),
+            t_offset=jnp.asarray(np.zeros(cap, np.float32)),
+            mask=jnp.asarray(np.arange(cap) < n),
+        )
+        fixes = [
+            GpsFix(stamp=r[0], lat=r[1], lon=r[2], alt=r[3],
+                   cov_xyz=tuple(r[4:7]) if len(r) >= 7 else (1.0, 1.0, 4.0))
+            for r in seq.gnss_between(t_prev, stamp)
+        ]
+        engine.process(scan, imu, stamp, stamp - t_prev, gps=fixes)
+        t_prev = stamp
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--dataset", choices=["kitti", "generic", "sim"], default="sim")
+    ap.add_argument("--root", default=None)
+    ap.add_argument("--seq", default="07")
+    ap.add_argument("--out", default="out/run")
+    ap.add_argument("--n-scans", type=int, default=200)
+    ap.add_argument("--scan-capacity", type=int, default=131072)
+    ap.add_argument("--use-gps", action="store_true")
+    # FAST-LIO parameter surface (kitti.launch / config.yaml names)
+    ap.add_argument("--point-filter-num", type=int, default=4)
+    ap.add_argument("--blind", type=float, default=1.0)
+    ap.add_argument("--filter-size-surf", type=float, default=0.5)
+    ap.add_argument("--filter-size-map", type=float, default=0.5)
+    ap.add_argument("--max-iteration", type=int, default=3)
+    ap.add_argument("--det-range", type=float, default=300.0)
+    ap.add_argument("--num-ds-points", type=int, default=8192)
+    ap.add_argument("--map-capacity-log2", type=int, default=19)
+    ap.add_argument("--keyframe-threshold", type=float, default=1.0)
+    ap.add_argument("--loop-radius", type=float, default=35.0)
+    ap.add_argument("--loop-time-gap", type=float, default=30.0)
+    ap.add_argument("--icp-score-threshold", type=float, default=1.5)
+    ap.add_argument("--max-keyframes", type=int, default=1024)
+    args = ap.parse_args()
+
+    engine = build_engine(args)
+    if args.dataset == "sim":
+        run_sim(args, engine)
+    elif args.dataset == "kitti":
+        run_kitti(args, engine)
+    else:
+        run_generic(args, engine)
+
+    from fastliosam_tpu.runtime import save_results
+
+    paths = save_results(engine, args.out, args.seq if args.dataset == "kitti" else args.dataset)
+    print("saved:", paths)
+
+
+if __name__ == "__main__":
+    main()
