@@ -24,15 +24,11 @@ from ..map import voxel_hash as vh
 from .state import NavState, OdomConfig, boxplus, boxminus
 
 
-def _match_planes(x, pts_body, mask, vmap, map_cfg, cfg: OdomConfig):
+def _query_planes(x, pts_body, mask, vmap, map_cfg, cfg: OdomConfig):
     pw = pts_body @ x.R.T + x.p
     if cfg.query_mode == "merged":
-        n, d, valid = vh.query_planes_merged(vmap, map_cfg, pw, mask)
-    else:
-        n, d, valid = vh.query_planes(vmap, map_cfg, pw, mask)
-    r = jnp.sum(n * pw, axis=-1) + d
-    valid = valid & (jnp.abs(r) < cfg.max_residual)
-    return n, r, valid
+        return vh.query_planes_merged(vmap, map_cfg, pw, mask)
+    return vh.query_planes(vmap, map_cfg, pw, mask)
 
 
 def iekf_update(
@@ -43,15 +39,33 @@ def iekf_update(
     map_cfg: vh.VoxelMapConfig,
     cfg: OdomConfig,
 ):
-    """Iterated MAP update. Returns ``(state, n_matched)``."""
+    """Iterated MAP update. Returns ``(state, n_matched)``.
+
+    The plane association (hash probing + moment merge) is done once at the
+    propagated state and reused across the ``max_iteration`` Kalman
+    iterations — pose deltas between iterations are centimeters, far below
+    the map voxel size, so re-association almost never changes the matched
+    plane (set ``requery_every_iter=True`` to recover the reference's
+    re-search-each-iteration behavior). Residuals and the outlier gate ARE
+    recomputed every iteration from the updated pose.
+    """
     P_inv = jnp.linalg.inv(x_prop.P)
     x = x_prop
     n_matched = jnp.zeros((), jnp.int32)
     inv_R = 1.0 / cfg.point_cov
 
+    plane_n, plane_d, assoc = _query_planes(x, pts_body, mask, vmap, map_cfg, cfg)
+
     S = None
-    for _ in range(cfg.max_iteration):
-        n, r, valid = _match_planes(x, pts_body, mask, vmap, map_cfg, cfg)
+    for it in range(cfg.max_iteration):
+        if cfg.requery_every_iter and it > 0:
+            plane_n, plane_d, assoc = _query_planes(
+                x, pts_body, mask, vmap, map_cfg, cfg
+            )
+        pw = pts_body @ x.R.T + x.p
+        n = plane_n
+        r = jnp.sum(n * pw, axis=-1) + plane_d
+        valid = assoc & (jnp.abs(r) < cfg.max_residual)
         w = valid.astype(jnp.float32) * inv_R
         n_matched = jnp.sum(valid.astype(jnp.int32))
         # sparse Jacobian rows: A = [dr/dδθ, dr/dδp]  (N, 6)

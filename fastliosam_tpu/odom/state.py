@@ -33,6 +33,7 @@ class OdomConfig(NamedTuple):
     point_cov: float = 0.001  # LASER_POINT_COV analog
     max_residual: float = 1.0  # point-to-plane outlier gate (m)
     query_mode: str = "merged"  # "merged" (7-stencil fit) or "cached"
+    requery_every_iter: bool = False  # re-associate planes each iEKF iter
     # preprocessing
     blind: float = 1.0  # preprocess.blind
     point_filter_num: int = 4  # kitti.launch:7
