@@ -74,8 +74,10 @@ def _pack_voxel_keys(xyz, mask, voxel_size):
 
 
 def voxel_downsample(cloud: Cloud, voxel_size: float) -> Cloud:
-    """VoxelGrid-style centroid downsample. Output keeps the input capacity;
-    occupied-voxel centroids are packed to the front with a fresh mask."""
+    """VoxelGrid-style centroid downsample. Output keeps the input capacity
+    with occupied-voxel centroids **packed to the front** (single sort; the
+    packing reuses the key sort via a unique-index scatter, so no separate
+    `compact` pass is needed)."""
     xyz, mask = cloud.xyz, cloud.mask
     n = xyz.shape[0]
     keys = _pack_voxel_keys(xyz, mask, voxel_size)
@@ -83,7 +85,8 @@ def voxel_downsample(cloud: Cloud, voxel_size: float) -> Cloud:
     skeys = keys[order]
     sxyz = xyz[order]
     smask = mask[order]
-    # Segment ids: 0-based index of each distinct key run.
+    # Segment ids: 0-based index of each distinct key run. Invalid lanes all
+    # share the sentinel key and sort to the tail as one segment.
     is_start = jnp.concatenate(
         [jnp.ones((1,), dtype=jnp.int32), (skeys[1:] != skeys[:-1]).astype(jnp.int32)]
     )
@@ -93,8 +96,15 @@ def voxel_downsample(cloud: Cloud, voxel_size: float) -> Cloud:
     cnts = jax.ops.segment_sum(w, seg, num_segments=n)
     centroids = sums / jnp.maximum(cnts, 1.0)[:, None]
     occupied = cnts > 0.0
-    out_xyz = jnp.where(occupied[:, None], centroids, PAD_VALUE)
-    return Cloud(xyz=out_xyz.astype(jnp.float32), mask=occupied)
+    # pack occupied segments to the front: destination = rank among occupied
+    dest = jnp.where(occupied, jnp.cumsum(occupied.astype(jnp.int32)) - 1, n)
+    out_xyz = jnp.full((n, 3), PAD_VALUE, jnp.float32).at[dest].set(
+        centroids.astype(jnp.float32), mode="drop", unique_indices=True
+    )
+    out_mask = jnp.zeros((n,), bool).at[dest].set(
+        occupied, mode="drop", unique_indices=True
+    )
+    return Cloud(xyz=out_xyz, mask=out_mask)
 
 
 def voxel_downsample_points(xyz, mask, voxel_size: float):

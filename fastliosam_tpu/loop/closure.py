@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import se3
-from ..core.pointcloud import Cloud, compact, voxel_downsample
+from ..core.pointcloud import Cloud, voxel_downsample
 from .icp import icp_align
 
 
@@ -56,7 +56,6 @@ def build_submap(
     flat = world.reshape(span * kf_clouds.shape[1], 3)
     fmask = masks.reshape(-1)
     ds = voxel_downsample(Cloud(xyz=flat, mask=fmask), cfg.voxel_res)
-    ds = compact(ds)
     budget = min(cfg.submap_points, ds.xyz.shape[0])
     return ds.xyz[:budget], ds.mask[:budget]
 

@@ -60,7 +60,8 @@ def _mix32(h):
 class VoxelMapConfig(NamedTuple):
     capacity: int = 1 << 20  # hash slots (power of two, keep load < 0.25)
     voxel_size: float = 0.5  # FAST-LIO ``filter_size_map`` analog
-    insert_probes: int = 8  # probe rounds during insert
+    insert_probes: int = 8  # match-scan window during insert
+    claim_probes: int = 4  # claim rounds for new voxels (collision retries)
     query_probes: int = 4  # probe rounds during query
     min_points: int = 5  # NUM_MATCH_POINTS analog for a valid plane
     plane_var_thresh: float = 0.01  # max variance along normal (0.1 m sigma)
@@ -190,10 +191,12 @@ def insert(m: VoxelMap, cfg: VoxelMapConfig, xyz, mask):
 
     # Phase 2: unmatched points claim the first empty slot in their window.
     # Claim races are resolved with a scatter-max tournament; same-voxel
-    # losers match the winner's committed entry on the re-check.
+    # losers match the winner's committed entry on the re-check. Only the
+    # fingerprint is committed in-loop (it is what matching reads); the full
+    # coords of won slots are written once after the loop.
     poff = jnp.zeros((n,), jnp.int32)
-    coords_tbl = m.coords
-    for _ in range(cfg.insert_probes):
+    won_slot = jnp.full((n,), cap, jnp.int32)  # out-of-bounds = no win
+    for _ in range(cfg.claim_probes):
         cand = (h0 + poff) & (cap - 1)
         unassigned = (slots < 0) & mask
         cur = fp[cand]
@@ -202,18 +205,17 @@ def insert(m: VoxelMap, cfg: VoxelMapConfig, xyz, mask):
             jnp.where(tryclaim, pid + 1, 0), mode="drop"
         )
         won = tryclaim & (claim[cand] == pid + 1)
-        # commit winners; empty slots hold fp == 0 / coords == 0 so a
-        # scatter-add writes exactly the winner's identity
+        # commit winners; empty slots hold fp == 0 so a scatter-add writes
+        # exactly the winner's identity
         fp = fp.at[cand].add(want * won.astype(jnp.int32), mode="drop")
-        coords_tbl = coords_tbl.at[cand].add(
-            coords * won[:, None].astype(jnp.int32), mode="drop"
-        )
+        won_slot = jnp.where(won, cand, won_slot)
         # re-check after commits: winners and same-voxel losers both match now
         cur2 = fp[cand]
         match2 = cur2 == want
         slots = jnp.where((slots < 0) & mask & match2, cand, slots)
         # true collisions advance to the next probe offset
         poff = jnp.where((slots < 0) & mask & (cur2 != 0) & ~match2, poff + 1, poff)
+    coords_tbl = m.coords.at[won_slot].set(coords, mode="drop", unique_indices=True)
 
     assigned = (slots >= 0) & mask
     n_dropped = jnp.sum(mask & ~assigned, dtype=jnp.int32)

@@ -13,7 +13,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..core.pointcloud import Cloud, compact, voxel_downsample
+from ..core.pointcloud import Cloud, voxel_downsample
 from ..map import voxel_hash as vh
 from .iekf import iekf_update
 from .imu import ImuBatch, deskew, propagate
@@ -88,9 +88,8 @@ def odom_step(
         scan.xyz, scan.t_offset, scan.mask, traj, nav_prop, cfg, imu.mask, scan_dt
     )
 
-    # --- spatial downsample to the iEKF budget ---
+    # --- spatial downsample to the iEKF budget (output comes packed) ---
     ds = voxel_downsample(Cloud(xyz=pts_body, mask=scan.mask), cfg.filter_size_surf)
-    ds = compact(ds)
     budget = min(cfg.num_ds_points, ds.xyz.shape[0])
     pts = ds.xyz[:budget]
     msk = ds.mask[:budget]

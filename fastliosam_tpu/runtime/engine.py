@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from ..core import se3
 from ..core.geodesy import LocalCartesian
-from ..core.pointcloud import Cloud, compact, voxel_downsample
+from ..core.pointcloud import Cloud, voxel_downsample
 from ..loop import LoopConfig, fetch_closest_keyframe_idx, verify_loop
 from ..map import VoxelMapConfig
 from ..odom import ImuBatch, OdomConfig, Scan, init_odom, odom_step
@@ -95,7 +95,7 @@ class KeyframeStore:
 
 
 def _downsample_to_budget(xyz, mask, voxel, budget):
-    ds = compact(voxel_downsample(Cloud(xyz=xyz, mask=mask), voxel))
+    ds = voxel_downsample(Cloud(xyz=xyz, mask=mask), voxel)  # packed output
     return ds.xyz[:budget], ds.mask[:budget]
 
 
@@ -352,6 +352,6 @@ class SlamEngine:
         world = se3.apply(self.graph.poses[: self.kf.n], self.kf.clouds[: self.kf.n])
         flat = world.reshape(-1, 3)
         fmask = self.kf.masks[: self.kf.n].reshape(-1)
-        ds = compact(voxel_downsample(Cloud(xyz=flat, mask=fmask), voxel))
+        ds = voxel_downsample(Cloud(xyz=flat, mask=fmask), voxel)
         pts = np.asarray(ds.xyz)[np.asarray(ds.mask)]
         return pts[:max_points]

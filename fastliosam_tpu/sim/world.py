@@ -179,9 +179,36 @@ class SimConfig:
     # quantize per-point capture times to this many groups per sweep (fewer
     # pose evaluations during generation; None = exact per-azimuth-column)
     time_groups: int | None = None
+    # scan pattern: "spinning" (Velodyne/Ouster-like rings) or "livox"
+    # (Avia-like non-repetitive rosette in a forward cone — stresses
+    # irregular point density, BASELINE.md eval config #4)
+    pattern: str = "spinning"
+    livox_fov: float = 1.22  # ~70 deg full cone
+    livox_n_points: int = 8192
+
+
+def _ray_dirs_livox(cfg: SimConfig):
+    """Non-repetitive rosette pattern in a forward (+x) cone, Avia-like:
+    the beam sweeps a Lissajous-style rose whose frequencies are
+    incommensurate, so consecutive sweeps never repeat."""
+    n = cfg.livox_n_points
+    i = np.arange(n)
+    t_frac = i / n
+    half = cfg.livox_fov / 2.0
+    # incommensurate petal frequencies + golden-angle phase drift
+    a1 = 2 * np.pi * 1817.0 * t_frac
+    a2 = 2 * np.pi * 2017.0 * t_frac + 2.39996 * i / n
+    u = half * np.cos(a1) * np.abs(np.sin(a2)) ** 0.5
+    v = half * np.sin(a1) * np.abs(np.cos(a2)) ** 0.5
+    d = np.stack(
+        [np.cos(u) * np.cos(v), np.sin(u) * np.cos(v), np.sin(v)], axis=-1
+    )
+    return d, t_frac
 
 
 def _ray_dirs(cfg: SimConfig):
+    if cfg.pattern == "livox":
+        return _ray_dirs_livox(cfg)
     az = np.linspace(0, 2 * np.pi, cfg.n_azimuth, endpoint=False)
     el = np.linspace(cfg.elev_fov[0], cfg.elev_fov[1], cfg.n_elev)
     azg, elg = np.meshgrid(az, el, indexing="ij")  # (A, E)
