@@ -26,7 +26,9 @@ def nearest_neighbors(src, dst, dst_mask, chunk: int = 2048):
     """For each src point the index+sq-distance of its nearest dst point.
 
     ``src (N,3)``, ``dst (M,3)``; dst is processed in MXU-sized chunks with
-    a running min so the N×M matrix is never materialized.
+    a running min so the N×M matrix is never materialized. On TPU prefer
+    :func:`fastliosam_tpu.ops.nearest_neighbors_pallas`, which keeps the
+    distance blocks entirely in VMEM.
     """
     n = src.shape[0]
     m = dst.shape[0]
@@ -116,6 +118,15 @@ def icp_align(
         init_T = jnp.eye(4, dtype=jnp.float32)
     n = src.shape[0]
 
+    if jax.default_backend() == "tpu":
+        from ..ops import nearest_neighbors_pallas
+
+        def nn(ps):
+            return nearest_neighbors_pallas(ps, dst, dst_mask)
+    else:
+        def nn(ps):
+            return nearest_neighbors(ps, dst, dst_mask, nn_chunk)
+
     def corr_weights(nn_d2):
         corr = src_mask & (nn_d2 < max_corr_dist * max_corr_dist)
         if trim_fraction < 1.0:
@@ -132,7 +143,7 @@ def icp_align(
 
     def body(T, _):
         ps = se3.apply(T, src[None])[0]
-        nn_idx, nn_d2 = nearest_neighbors(ps, dst, dst_mask, nn_chunk)
+        nn_idx, nn_d2 = nn(ps)
         w = corr_weights(nn_d2).astype(jnp.float32)
         R, t = _horn_quat(ps, dst[nn_idx], w)
         T_new = se3.compose(se3.make(R, t), T)
@@ -141,7 +152,7 @@ def icp_align(
     T, _ = jax.lax.scan(body, init_T, None, length=max_iterations)
 
     ps = se3.apply(T, src[None])[0]
-    nn_idx, nn_d2 = nearest_neighbors(ps, dst, dst_mask, nn_chunk)
+    nn_idx, nn_d2 = nn(ps)
     corr = src_mask & (nn_d2 < max_corr_dist * max_corr_dist)
     n_corr = jnp.sum(corr.astype(jnp.int32))
     fitness = jnp.sum(jnp.where(corr, nn_d2, 0.0)) / jnp.maximum(

@@ -41,13 +41,11 @@ def iekf_update(
 ):
     """Iterated MAP update. Returns ``(state, n_matched)``.
 
-    The plane association (hash probing + moment merge) is done once at the
-    propagated state and reused across the ``max_iteration`` Kalman
-    iterations — pose deltas between iterations are centimeters, far below
-    the map voxel size, so re-association almost never changes the matched
-    plane (set ``requery_every_iter=True`` to recover the reference's
-    re-search-each-iteration behavior). Residuals and the outlier gate ARE
-    recomputed every iteration from the updated pose.
+    Plane association (hash probing + moment merge) runs at the propagated
+    state and is then re-run for the first ``requery_iters`` Kalman
+    iterations; later iterations reuse the association (pose deltas shrink
+    to millimeters, far below the voxel size). Residuals and the outlier
+    gate ARE recomputed every iteration from the updated pose.
     """
     P_inv = jnp.linalg.inv(x_prop.P)
     x = x_prop
@@ -58,7 +56,7 @@ def iekf_update(
 
     S = None
     for it in range(cfg.max_iteration):
-        if cfg.requery_every_iter and it > 0:
+        if 0 < it <= cfg.requery_iters:
             plane_n, plane_d, assoc = _query_planes(
                 x, pts_body, mask, vmap, map_cfg, cfg
             )

@@ -33,7 +33,11 @@ class OdomConfig(NamedTuple):
     point_cov: float = 0.001  # LASER_POINT_COV analog
     max_residual: float = 1.0  # point-to-plane outlier gate (m)
     query_mode: str = "merged"  # "merged" (7-stencil fit) or "cached"
-    requery_every_iter: bool = False  # re-associate planes each iEKF iter
+    # plane re-association during the iterated update: 0 = associate once at
+    # the propagated pose (fastest), 1 = once more after the first Kalman
+    # iteration (recovers most of the accuracy), >=max_iteration-1 = every
+    # iteration (the reference's re-search-per-iteration behavior)
+    requery_iters: int = 1
     # preprocessing
     blind: float = 1.0  # preprocess.blind
     point_filter_num: int = 4  # kitti.launch:7
