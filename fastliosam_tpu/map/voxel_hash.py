@@ -163,12 +163,14 @@ def _find_slots(m: VoxelMap, cfg: VoxelMapConfig, coords, mask, probes=None):
     return slots, slots >= 0
 
 
-def insert(m: VoxelMap, cfg: VoxelMapConfig, xyz, mask):
+def insert(m: VoxelMap, cfg: VoxelMapConfig, xyz, mask, refresh_planes=True):
     """Insert a (masked) batch of world-frame points.
 
     Returns ``(map, n_dropped)`` where ``n_dropped`` counts points that
     exhausted all probe rounds (hash table too full / pathological
-    clustering) and were skipped.
+    clustering) and were skipped. ``refresh_planes=False`` skips the cached
+    per-voxel plane refit — valid when all queries use the merged-moment
+    path, which reads raw moments instead of cached planes.
     """
     cap = cfg.capacity
     coords = _voxel_coords(xyz, cfg.voxel_size)
@@ -235,14 +237,15 @@ def insert(m: VoxelMap, cfg: VoxelMapConfig, xyz, mask):
         fp=fp, coords=coords_tbl, count=count, psum=psum, pouter=pouter
     )
 
-    # refresh cached planes for touched slots (duplicates write identical
-    # values, so the scatter is deterministic)
-    nrm, dd, pv = _fit_planes(m, cfg, sl)
-    m = m._replace(
-        normal=m.normal.at[sl].set(nrm, mode="drop"),
-        d=m.d.at[sl].set(dd, mode="drop"),
-        plane_valid=m.plane_valid.at[sl].set(pv, mode="drop"),
-    )
+    if refresh_planes:
+        # refresh cached planes for touched slots (duplicates write
+        # identical values, so the scatter is deterministic)
+        nrm, dd, pv = _fit_planes(m, cfg, sl)
+        m = m._replace(
+            normal=m.normal.at[sl].set(nrm, mode="drop"),
+            d=m.d.at[sl].set(dd, mode="drop"),
+            plane_valid=m.plane_valid.at[sl].set(pv, mode="drop"),
+        )
     return m, n_dropped
 
 

@@ -101,9 +101,13 @@ def odom_step(
         state.initialized, lambda: nav_upd, lambda: nav_prop
     )
 
-    # --- map insert of the updated world-frame cloud ---
+    # --- map insert of the updated world-frame cloud (cached-plane refit
+    # only needed when some query path reads cached planes) ---
     pw = pts @ nav_new.R.T + nav_new.p
-    vmap_new, n_dropped = vh.insert(state.vmap, map_cfg, pw, msk)
+    vmap_new, n_dropped = vh.insert(
+        state.vmap, map_cfg, pw, msk,
+        refresh_planes=(cfg.query_mode == "cached"),
+    )
 
     # --- periodic FoV-sliding eviction ---
     do_evict = (state.scan_idx % cfg.evict_every) == (cfg.evict_every - 1)

@@ -16,4 +16,5 @@ from .cleanup import (  # noqa: F401
     euclidean_clusters,
     cluster_bounding_boxes,
     intensity_filter,
+    denoise_slam_map,
 )

@@ -148,3 +148,31 @@ def intensity_filter(intensity: np.ndarray, min_intensity: float) -> np.ndarray:
     """Keep-mask for points above an intensity floor
     (`post_process/filter.py` capability)."""
     return np.asarray(intensity) >= min_intensity
+
+
+def denoise_slam_map(
+    xyz: np.ndarray,
+    intensity: np.ndarray | None = None,
+    min_intensity: float = 0.0,
+    sor_neighbors: int = 20,
+    sor_std: float = 2.0,
+    cluster_eps: float = 0.0,
+    cluster_min_points: int = 10,
+) -> np.ndarray:
+    """The reference's (disabled) map-denoise pipeline
+    (`fast_lio_sam.cpp:941-1008`): optional intensity gate → statistical
+    outlier removal → optional small-cluster rejection. Returns a keep-mask.
+    """
+    keep = np.ones(len(xyz), bool)
+    if intensity is not None and min_intensity > 0:
+        keep &= intensity_filter(intensity, min_intensity)
+    idx = np.nonzero(keep)[0]
+    sor_keep = sor_denoise(np.asarray(xyz)[idx], sor_neighbors, sor_std)
+    keep[idx[~sor_keep]] = False
+    if cluster_eps > 0:
+        idx = np.nonzero(keep)[0]
+        labels = euclidean_clusters(
+            np.asarray(xyz)[idx], eps=cluster_eps, min_points=cluster_min_points
+        )
+        keep[idx[labels < 0]] = False
+    return keep

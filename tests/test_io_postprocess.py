@@ -202,3 +202,24 @@ def test_clustering(rng):
     assert intensity_filter(np.array([1.0, 5.0, 10.0]), 5.0).tolist() == [
         False, True, True,
     ]
+
+
+def test_denoise_slam_map(rng):
+    from fastliosam_tpu.postprocess import denoise_slam_map
+
+    ground = np.column_stack(
+        [rng.uniform(-5, 5, 400), rng.uniform(-5, 5, 400),
+         rng.normal(size=400) * 0.02]
+    )
+    outliers = rng.uniform(-5, 5, size=(10, 3)) + np.array([0, 0, 8.0])
+    pts = np.vstack([ground, outliers])
+    inten = np.concatenate([np.full(400, 50.0), np.full(10, 50.0)])
+    keep = denoise_slam_map(pts, inten, min_intensity=10.0,
+                            sor_neighbors=10, sor_std=1.5)
+    assert keep[:400].mean() > 0.9
+    assert keep[400:].mean() < 0.5
+    # intensity gate removes low-intensity points outright
+    inten[:5] = 1.0
+    keep2 = denoise_slam_map(pts, inten, min_intensity=10.0,
+                             sor_neighbors=10, sor_std=1.5)
+    assert not keep2[:5].any()
