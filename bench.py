@@ -216,6 +216,36 @@ def bench_pgo():
     return ms, float(cost)
 
 
+def bench_loop_icp():
+    """Loop verification latency: trimmed ICP (50 iters) between two 16k
+    submaps — Pallas fused-NN path on TPU."""
+    import jax
+    import jax.numpy as jnp
+
+    from fastliosam_tpu.loop.icp import icp_align
+
+    rng = np.random.default_rng(1)
+    base = rng.uniform(-40, 40, size=(16384, 3)).astype(np.float32)
+    base[:, 2] = np.sin(base[:, 0] * 0.3) + 0.1 * base[:, 1]
+    shift = np.array([1.5, -1.0, 0.3], np.float32)
+    src = jnp.asarray(base + shift)
+    dst = jnp.asarray(base)
+    mask = jnp.ones((16384,), bool)
+    f = jax.jit(
+        lambda s, d: icp_align(s, mask, d, mask, max_iterations=50,
+                               max_corr_dist=52.5, trim_fraction=0.8)
+    )
+    T, fit, nc = f(src, dst)
+    fit.block_until_ready()
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        T, fit, nc = f(src, dst)
+        fit.block_until_ready()
+    ms = (time.perf_counter() - t0) / reps * 1000
+    return ms, float(fit)
+
+
 def main():
     import jax
 
@@ -223,6 +253,7 @@ def main():
     data = get_sequence()
     scans_per_sec, ate, matched = bench_odometry(data)
     pgo_ms, pgo_cost = bench_pgo()
+    icp_ms, icp_fit = bench_loop_icp()
     result = {
         "metric": "odom_scans_per_sec_per_chip",
         "value": round(scans_per_sec, 2),
@@ -230,6 +261,7 @@ def main():
         "vs_baseline": round(scans_per_sec / 10.0, 2),
         "ate_m": round(ate, 4),
         "pgo_solve_ms_512kf": round(pgo_ms, 2),
+        "loop_icp_ms_50it_16k": round(icp_ms, 2),
         "backend": backend,
         "n_scans": N_SCANS + N_WARM,
         "raw_pts_per_scan": RAW_PTS,

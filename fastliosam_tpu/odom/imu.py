@@ -77,7 +77,7 @@ def propagate(x: NavState, imu: ImuBatch, cfg: OdomConfig, scan_dt):
         return (R_n, p_n, v_n, P_n), out
 
     (R_e, p_e, v_e, P_e), (Rs, ps, vs, ws, aws) = jax.lax.scan(
-        step, (x.R, x.p, x.v, x.P), (imu.gyro, imu.acc, dts)
+        step, (x.R, x.p, x.v, x.P), (imu.gyro, imu.acc, dts), unroll=8
     )
     x_end = x._replace(R=R_e, p=p_e, v=v_e, P=P_e)
     traj = (Rs, ps, vs, ws, aws, imu.stamps)

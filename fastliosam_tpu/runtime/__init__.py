@@ -4,3 +4,5 @@ from .persistence import (  # noqa: F401
     save_checkpoint,
     load_checkpoint,
 )
+from .localizer import MapLocalizer, build_map_from_keyframes  # noqa: F401
+from .recorder import SensorRecorder, RecorderConfig  # noqa: F401
