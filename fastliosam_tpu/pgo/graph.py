@@ -32,6 +32,11 @@ class PoseGraphConfig(NamedTuple):
     lambda_init: float = 1e-4
     lambda_up: float = 4.0
     lambda_down: float = 0.5
+    # linear stage: "dense" assembles the (6K,6K) normal matrix and solves
+    # with a single MXU-backed factorization — far faster than PCG up to a
+    # few thousand keyframes; "pcg" is matrix-free (the shardable path);
+    # "auto" picks dense for max_keyframes <= 2048
+    linear_solver: str = "auto"
     # prior noise on node 0 (sqrt information); reference uses a hard prior
     prior_sqrt_info: float = 1e3
 

@@ -85,6 +85,48 @@ def graph_cost(g: PoseGraph, cfg: PoseGraphConfig, prior_pose=None):
     return 0.5 * (jnp.sum(rb * rb) + jnp.sum(rg * rg) + jnp.sum(rp * rp))
 
 
+def _assemble_dense(g: PoseGraph, cfg: PoseGraphConfig, prior_pose):
+    """Assemble the full (6K, 6K) Gauss-Newton normal matrix + rhs.
+
+    Block scatters into a (K, K, 6, 6) layout, reshaped to (6K, 6K). At
+    K ≤ a few thousand this is small (6K=12288 → 600 MB is the ceiling;
+    512 kf → 37 MB) and one MXU-backed factorization beats hundreds of
+    tiny PCG dispatches by an order of magnitude.
+    """
+    K = g.poses.shape[0]
+    rb, Ji, Jj = _between_residuals(g)
+    rg, Jg = _gps_residuals(g)
+    rp, Jp = _prior_residual(g, cfg, prior_pose)
+
+    H = jnp.zeros((K, K, 6, 6), jnp.float32)
+    H = H.at[g.bt_i, g.bt_i].add(jnp.einsum("fki,fkj->fij", Ji, Ji))
+    H = H.at[g.bt_j, g.bt_j].add(jnp.einsum("fki,fkj->fij", Jj, Jj))
+    Hij = jnp.einsum("fki,fkj->fij", Ji, Jj)
+    H = H.at[g.bt_i, g.bt_j].add(Hij)
+    H = H.at[g.bt_j, g.bt_i].add(jnp.swapaxes(Hij, -1, -2))
+    H = H.at[g.gps_idx, g.gps_idx].add(jnp.einsum("fki,fkj->fij", Jg, Jg))
+    H = H.at[0, 0].add(Jp.T @ Jp)
+
+    b = jnp.zeros((K, 6), jnp.float32)
+    b = b.at[g.bt_i].add(-jnp.einsum("fij,fi->fj", Ji, rb))
+    b = b.at[g.bt_j].add(-jnp.einsum("fij,fi->fj", Jj, rb))
+    b = b.at[g.gps_idx].add(-jnp.einsum("fij,fi->fj", Jg, rg))
+    b = b.at[0].add(-(Jp.T @ rp))
+    return H, b
+
+
+def _dense_step(g: PoseGraph, cfg: PoseGraphConfig, prior_pose, lam):
+    K = g.poses.shape[0]
+    H, b = _assemble_dense(g, cfg, prior_pose)
+    # LM damping on the diagonal: per-(pose, axis) diagonal entries
+    dk = jax.vmap(lambda Hkk: jnp.diagonal(Hkk))(H[jnp.arange(K), jnp.arange(K)])
+    damp = lam * dk + 1e-6  # (K, 6)
+    Hfull = jnp.swapaxes(H, 1, 2).reshape(K * 6, K * 6)
+    Hfull = Hfull + jnp.diag(damp.reshape(-1))
+    dx = jnp.linalg.solve(Hfull, b.reshape(-1))
+    return dx.reshape(K, 6)
+
+
 def _linearize(g: PoseGraph, cfg: PoseGraphConfig, prior_pose):
     """Compute b = -JᵀWr, per-pose diagonal Hessian blocks, and a matvec."""
     K = g.poses.shape[0]
@@ -165,12 +207,18 @@ def solve(g: PoseGraph, cfg: PoseGraphConfig, prior_pose=None):
     if prior_pose is None:
         prior_pose = g.poses[0]
     kf_mask = g.kf_valid[:, None].astype(jnp.float32)
+    use_dense = cfg.linear_solver == "dense" or (
+        cfg.linear_solver == "auto" and g.poses.shape[0] <= 2048
+    )
 
     def lm_iter(carry, _):
         poses, lam, cost = carry
         gg = g._replace(poses=poses)
-        b, Hd, matvec = _linearize(gg, cfg, prior_pose)
-        dx = _pcg(matvec, b, Hd, lam, cfg.pcg_iters)
+        if use_dense:
+            dx = _dense_step(gg, cfg, prior_pose, lam)
+        else:
+            b, Hd, matvec = _linearize(gg, cfg, prior_pose)
+            dx = _pcg(matvec, b, Hd, lam, cfg.pcg_iters)
         dx = dx * kf_mask
         cand = se3.retract(poses, dx)
         cand = jnp.where(g.kf_valid[:, None, None], cand, poses)

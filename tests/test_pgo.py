@@ -140,3 +140,16 @@ def test_capacity_overflow_is_safe():
     for k in range(8):
         g = add_between(g, 0, 1, eye, si)
     assert int(g.n_bt) == 4
+
+
+def test_dense_and_pcg_agree(rng):
+    gt = circle_poses(24)
+    g = build_noisy_chain(gt, rng, odom_noise=0.05, rot_noise=0.01)
+    rel = se3.between(gt[-1], gt[0])
+    g = add_between(
+        g, 23, 0, rel, jnp.asarray([100.0] * 3 + [1000.0] * 3, jnp.float32)
+    )
+    gd, cd = solve(g, CFG._replace(linear_solver="dense"), prior_pose=gt[0])
+    gp, cp = solve(g, CFG._replace(linear_solver="pcg"), prior_pose=gt[0])
+    assert abs(float(cd) - float(cp)) < 1e-2 * max(1.0, float(cp))
+    assert np.abs(np.asarray(gd.poses) - np.asarray(gp.poses)).max() < 5e-3
