@@ -118,7 +118,10 @@ class SlamEngine:
 
         self.odom = init_odom(map_cfg)
         self.graph: PoseGraph = make_graph(pgo_cfg)
-        self.kf = KeyframeStore.create(pgo_cfg.max_keyframes, cfg.kf_cloud_points)
+        # keyframe clouds come from the downsampled odometry cloud, so their
+        # budget can never exceed the odometry point budget
+        self.kf_points = min(cfg.kf_cloud_points, odom_cfg.num_ds_points)
+        self.kf = KeyframeStore.create(pgo_cfg.max_keyframes, self.kf_points)
 
         self.last_kf_raw = jnp.eye(4, dtype=jnp.float32)
         self.last_kf_corrected = jnp.eye(4, dtype=jnp.float32)
@@ -159,7 +162,7 @@ class SlamEngine:
         )
         self._jit_downsample = jax.jit(
             lambda xyz, mask: _downsample_to_budget(
-                xyz, mask, cfg.kf_cloud_voxel, cfg.kf_cloud_points
+                xyz, mask, cfg.kf_cloud_voxel, self.kf_points
             )
         )
 

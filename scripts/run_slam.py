@@ -173,9 +173,102 @@ def run_generic(args, engine):
         t_prev = stamp
 
 
+def run_mulran(args, engine):
+    import jax.numpy as jnp
+
+    from fastliosam_tpu.io.mulran import MulranSequence
+    from fastliosam_tpu.odom import ImuBatch, Scan
+    from fastliosam_tpu.runtime import GpsFix
+
+    seq = MulranSequence(args.root)
+    cap = args.scan_capacity
+    imu_cap = 64
+    print(f"MulRan: {len(seq)} scans")
+    t_prev = float(seq.stamps[0]) - 0.1
+    for i in range(len(seq)):
+        xyz, inten, toff = seq.scan(i)
+        n = min(len(xyz), cap)
+        pad = cap - n
+        stamp = float(seq.stamps[i])
+        ts, gy, ac = seq.imu_between(t_prev, stamp)
+        m = min(len(ts), imu_cap)
+        imu = ImuBatch(
+            stamps=jnp.asarray(np.pad((ts[:m] - t_prev).astype(np.float32),
+                                      (0, imu_cap - m), constant_values=1e9)),
+            gyro=jnp.asarray(np.pad(gy[:m].astype(np.float32),
+                                    ((0, imu_cap - m), (0, 0)))),
+            acc=jnp.asarray(np.pad(ac[:m].astype(np.float32),
+                                   ((0, imu_cap - m), (0, 0)))),
+            mask=jnp.asarray(np.arange(imu_cap) < m),
+        )
+        scan = Scan(
+            xyz=jnp.asarray(np.pad(xyz[:n], ((0, pad), (0, 0)),
+                                   constant_values=1e6)),
+            t_offset=jnp.asarray(np.pad(toff[:n], (0, pad))),
+            mask=jnp.asarray(np.arange(cap) < n),
+        )
+        fixes = [
+            GpsFix(stamp=s, lat=la, lon=lo, alt=al, cov_xyz=tuple(cov))
+            for (s, la, lo, al, cov) in seq.gps_between(t_prev, stamp)
+        ]
+        engine.process(scan, imu, stamp, stamp - t_prev, gps=fixes)
+        t_prev = stamp
+        if i % 100 == 0:
+            print(f"  scan {i}/{len(seq)}")
+
+
+def run_newer_college(args, engine):
+    import jax.numpy as jnp
+
+    from fastliosam_tpu.io.newer_college import NewerCollegeSequence
+    from fastliosam_tpu.odom import ImuBatch, Scan
+
+    seq = NewerCollegeSequence(bags=args.root, gt_csv=args.gt_csv)
+    cap = args.scan_capacity
+    imu_cap = 64
+    imu_buf = []
+    t_prev = None
+    for kind, stamp, payload in seq.stream():
+        if kind == "imu":
+            imu_buf.append((stamp, *payload))
+            continue
+        xyz, inten, toff = payload
+        if t_prev is None:
+            t_prev = stamp - 0.1
+        rel = [
+            (s - t_prev, g, a) for (s, g, a) in imu_buf if t_prev < s <= stamp
+        ]
+        imu_buf = [e for e in imu_buf if e[0] > stamp]
+        m = min(len(rel), imu_cap)
+        ts = np.asarray([r[0] for r in rel[:m]], np.float32)
+        gy = np.asarray([r[1] for r in rel[:m]], np.float32).reshape(m, 3)
+        ac = np.asarray([r[2] for r in rel[:m]], np.float32).reshape(m, 3)
+        imu = ImuBatch(
+            stamps=jnp.asarray(np.pad(ts, (0, imu_cap - m), constant_values=1e9)),
+            gyro=jnp.asarray(np.pad(gy, ((0, imu_cap - m), (0, 0)))),
+            acc=jnp.asarray(np.pad(ac, ((0, imu_cap - m), (0, 0)))),
+            mask=jnp.asarray(np.arange(imu_cap) < m),
+        )
+        n = min(len(xyz), cap)
+        pad = cap - n
+        scan = Scan(
+            xyz=jnp.asarray(np.pad(xyz[:n], ((0, pad), (0, 0)),
+                                   constant_values=1e6)),
+            t_offset=jnp.asarray(np.pad(toff[:n], (0, pad))),
+            mask=jnp.asarray(np.arange(cap) < n),
+        )
+        engine.process(scan, imu, stamp, stamp - t_prev)
+        t_prev = stamp
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--dataset", choices=["kitti", "generic", "sim"], default="sim")
+    ap.add_argument(
+        "--dataset",
+        choices=["kitti", "generic", "sim", "mulran", "newer-college"],
+        default="sim",
+    )
+    ap.add_argument("--gt-csv", default=None)
     ap.add_argument("--root", default=None)
     ap.add_argument("--seq", default="07")
     ap.add_argument("--out", default="out/run")
@@ -203,6 +296,10 @@ def main():
         run_sim(args, engine)
     elif args.dataset == "kitti":
         run_kitti(args, engine)
+    elif args.dataset == "mulran":
+        run_mulran(args, engine)
+    elif args.dataset == "newer-college":
+        run_newer_college(args, engine)
     else:
         run_generic(args, engine)
 
