@@ -170,39 +170,40 @@ def bench_odometry(data):
 
 def bench_pgo():
     import jax
-    import jax.numpy as jnp
 
-    from fastliosam_tpu.core import se3, so3
-    from fastliosam_tpu.pgo import (
-        PoseGraphConfig,
-        add_between,
-        add_keyframe,
-        make_graph,
-        solve,
-    )
+    from fastliosam_tpu.pgo import PoseGraphConfig, from_arrays, solve
 
     cfg = PoseGraphConfig(
         max_keyframes=512, max_between=1024, max_gps=128, lm_iters=6, pcg_iters=128
     )
     rng = np.random.default_rng(0)
-    g = make_graph(cfg)
-    T = jnp.eye(4, dtype=jnp.float32)
-    g = add_keyframe(g, T)
-    si = jnp.asarray([10.0] * 3 + [100.0] * 3, jnp.float32)
-    for k in range(1, 512):
-        a = 2 * np.pi / 512
-        step_T = se3.make(
-            so3.exp(jnp.asarray([0, 0, a], jnp.float32)),
-            jnp.asarray([0.5, 0, 0], jnp.float32),
-        )
-        noise = se3.exp(jnp.asarray(
-            np.concatenate([rng.normal(size=3) * 0.02, rng.normal(size=3) * 0.004]),
-            jnp.float32))
-        T = se3.compose(T, se3.compose(step_T, noise))
-        g = add_keyframe(g, T)
-        g = add_between(g, k - 1, k, step_T, si)
-    g = add_between(g, 511, 0, se3.inverse(T),
-                    jnp.asarray([100.0] * 3 + [1000.0] * 3, jnp.float32))
+    # noisy circle chain + one loop factor, built host-side (numpy)
+    K = 512
+    a = 2 * np.pi / K
+    ca, sa = np.cos(a), np.sin(a)
+    step_T = np.eye(4, dtype=np.float32)
+    step_T[:2, :2] = [[ca, -sa], [sa, ca]]
+    step_T[0, 3] = 0.5
+    poses = [np.eye(4, dtype=np.float32)]
+    rels = []
+    for k in range(1, K):
+        noise = np.eye(4, dtype=np.float32)
+        noise[:3, 3] = rng.normal(size=3) * 0.02
+        rel = step_T @ noise
+        poses.append(poses[-1] @ rel)
+        rels.append(rel)
+    bt_i = np.arange(K - 1)
+    bt_j = np.arange(1, K)
+    si = np.tile(np.asarray([10.0] * 3 + [100.0] * 3, np.float32), (K - 1, 1))
+    # loop factor: last -> first
+    bt_i = np.append(bt_i, K - 1)
+    bt_j = np.append(bt_j, 0)
+    rels.append(np.linalg.inv(poses[-1]).astype(np.float32))
+    si = np.vstack([si, np.asarray([[100.0] * 3 + [1000.0] * 3], np.float32)])
+    g = from_arrays(
+        cfg, np.stack(poses), bt_i=bt_i, bt_j=bt_j, bt_rel=np.stack(rels),
+        bt_sqrt_info=si,
+    )
 
     solver = jax.jit(lambda g: solve(g, cfg))
     g2, cost = solver(g)

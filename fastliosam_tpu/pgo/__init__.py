@@ -2,6 +2,7 @@ from .graph import (  # noqa: F401
     PoseGraph,
     PoseGraphConfig,
     make_graph,
+    from_arrays,
     add_keyframe,
     add_between,
     add_gps,

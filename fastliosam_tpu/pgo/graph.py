@@ -82,6 +82,55 @@ def make_graph(cfg: PoseGraphConfig) -> PoseGraph:
     )
 
 
+def from_arrays(
+    cfg: PoseGraphConfig,
+    poses,  # (n, 4, 4)
+    bt_i=None,
+    bt_j=None,
+    bt_rel=None,
+    bt_sqrt_info=None,
+    gps_idx=None,
+    gps_xyz=None,
+    gps_sqrt_info=None,
+) -> PoseGraph:
+    """Bulk-construct a graph from arrays (one device transfer instead of
+    per-factor updates — use for offline solves and benchmarks)."""
+    g = make_graph(cfg)
+    n = len(poses)
+    assert n <= cfg.max_keyframes
+    g = g._replace(
+        poses=g.poses.at[:n].set(jnp.asarray(poses, jnp.float32)),
+        kf_valid=g.kf_valid.at[:n].set(True),
+        n_kf=jnp.asarray(n, jnp.int32),
+    )
+    if bt_i is not None:
+        f = len(bt_i)
+        assert f <= cfg.max_between
+        g = g._replace(
+            bt_i=g.bt_i.at[:f].set(jnp.asarray(bt_i, jnp.int32)),
+            bt_j=g.bt_j.at[:f].set(jnp.asarray(bt_j, jnp.int32)),
+            bt_rel=g.bt_rel.at[:f].set(jnp.asarray(bt_rel, jnp.float32)),
+            bt_sqrt_info=g.bt_sqrt_info.at[:f].set(
+                jnp.asarray(bt_sqrt_info, jnp.float32)
+            ),
+            bt_valid=g.bt_valid.at[:f].set(True),
+            n_bt=jnp.asarray(f, jnp.int32),
+        )
+    if gps_idx is not None:
+        q = len(gps_idx)
+        assert q <= cfg.max_gps
+        g = g._replace(
+            gps_idx=g.gps_idx.at[:q].set(jnp.asarray(gps_idx, jnp.int32)),
+            gps_xyz=g.gps_xyz.at[:q].set(jnp.asarray(gps_xyz, jnp.float32)),
+            gps_sqrt_info=g.gps_sqrt_info.at[:q].set(
+                jnp.asarray(gps_sqrt_info, jnp.float32)
+            ),
+            gps_valid=g.gps_valid.at[:q].set(True),
+            n_gps=jnp.asarray(q, jnp.int32),
+        )
+    return g
+
+
 def add_keyframe(g: PoseGraph, pose) -> PoseGraph:
     """Append a keyframe pose (no-op when at capacity). Returns new graph."""
     k = g.n_kf

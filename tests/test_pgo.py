@@ -153,3 +153,21 @@ def test_dense_and_pcg_agree(rng):
     gp, cp = solve(g, CFG._replace(linear_solver="pcg"), prior_pose=gt[0])
     assert abs(float(cd) - float(cp)) < 1e-2 * max(1.0, float(cp))
     assert np.abs(np.asarray(gd.poses) - np.asarray(gp.poses)).max() < 5e-3
+
+
+def test_from_arrays_matches_incremental(rng):
+    from fastliosam_tpu.pgo import from_arrays
+
+    gt = circle_poses(12)
+    g_inc = build_noisy_chain(gt, rng)
+    # rebuild the same graph in bulk
+    poses = np.asarray(g_inc.poses[:12])
+    rels = np.asarray(g_inc.bt_rel[:11])
+    si = np.asarray(g_inc.bt_sqrt_info[:11])
+    g_bulk = from_arrays(
+        CFG, poses, bt_i=np.arange(11), bt_j=np.arange(1, 12),
+        bt_rel=rels, bt_sqrt_info=si,
+    )
+    c_inc = float(graph_cost(g_inc, CFG, prior_pose=gt[0]))
+    c_bulk = float(graph_cost(g_bulk, CFG, prior_pose=gt[0]))
+    assert abs(c_inc - c_bulk) < 1e-4 * max(1.0, c_inc)
