@@ -29,6 +29,13 @@ import numpy as np
 REPO = os.path.dirname(os.path.abspath(__file__))
 CACHE = os.path.join(REPO, "out", "bench_seq_v1.npz")
 
+# persistent XLA compilation cache: first-run compiles of the big programs
+# (rollout, dense PGO factorization) take minutes on the remote-compile
+# path; later runs hit this cache.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", os.path.join(REPO, "out", "jaxcache")
+)
+
 N_SCANS = 40
 N_WARM = 3
 RAW_PTS = 32768  # ~HDL-64 after point_filter_num=4

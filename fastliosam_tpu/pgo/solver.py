@@ -98,14 +98,20 @@ def _assemble_dense(g: PoseGraph, cfg: PoseGraphConfig, prior_pose):
     rg, Jg = _gps_residuals(g)
     rp, Jp = _prior_residual(g, cfg, prior_pose)
 
-    H = jnp.zeros((K, K, 6, 6), jnp.float32)
-    H = H.at[g.bt_i, g.bt_i].add(jnp.einsum("fki,fkj->fij", Ji, Ji))
-    H = H.at[g.bt_j, g.bt_j].add(jnp.einsum("fki,fkj->fij", Jj, Jj))
+    # flat (K*K, 6, 6) block storage with single-depth scatter indices —
+    # depth-2 advanced-index scatters into a 4-D operand compile
+    # pathologically on TPU
+    Hf = jnp.zeros((K * K, 6, 6), jnp.float32)
+    Hf = Hf.at[g.bt_i * K + g.bt_i].add(jnp.einsum("fki,fkj->fij", Ji, Ji))
+    Hf = Hf.at[g.bt_j * K + g.bt_j].add(jnp.einsum("fki,fkj->fij", Jj, Jj))
     Hij = jnp.einsum("fki,fkj->fij", Ji, Jj)
-    H = H.at[g.bt_i, g.bt_j].add(Hij)
-    H = H.at[g.bt_j, g.bt_i].add(jnp.swapaxes(Hij, -1, -2))
-    H = H.at[g.gps_idx, g.gps_idx].add(jnp.einsum("fki,fkj->fij", Jg, Jg))
-    H = H.at[0, 0].add(Jp.T @ Jp)
+    Hf = Hf.at[g.bt_i * K + g.bt_j].add(Hij)
+    Hf = Hf.at[g.bt_j * K + g.bt_i].add(jnp.swapaxes(Hij, -1, -2))
+    Hf = Hf.at[g.gps_idx * K + g.gps_idx].add(
+        jnp.einsum("fki,fkj->fij", Jg, Jg)
+    )
+    Hf = Hf.at[0].add(Jp.T @ Jp)
+    H = Hf.reshape(K, K, 6, 6)
 
     b = jnp.zeros((K, 6), jnp.float32)
     b = b.at[g.bt_i].add(-jnp.einsum("fij,fi->fj", Ji, rb))
