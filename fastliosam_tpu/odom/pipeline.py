@@ -83,9 +83,45 @@ def odom_step(
     scan = _preprocess(scan, cfg)
 
     # --- IMU propagate + deskew into scan-end body frame ---
+    # LiDAR-only sequences (e.g. KITTI odometry) have no IMU samples; fall
+    # back to a constant-velocity prediction with inflated process noise so
+    # the iEKF still tracks (velocity is then re-estimated from the pose
+    # correction below).
+    has_imu = jnp.any(imu.mask)
     nav_prop, traj = propagate(state.nav, imu, cfg, scan_dt)
+
+    def cv_predict():
+        nav = state.nav
+        p_new = nav.p + nav.v * scan_dt
+        P = nav.P + jnp.diag(
+            jnp.concatenate(
+                [
+                    jnp.full((3,), cfg.cv_rot_cov * scan_dt),
+                    jnp.full((3,), cfg.cv_pos_cov * scan_dt),
+                    jnp.full((3,), cfg.cv_vel_cov * scan_dt),
+                    jnp.full((9,), 1e-8),
+                ]
+            ).astype(jnp.float32)
+        )
+        return nav._replace(p=p_new, P=P)
+
+    nav_prop = jax.lax.cond(has_imu, lambda: nav_prop, cv_predict)
     pts_body = deskew(
         scan.xyz, scan.t_offset, scan.mask, traj, nav_prop, cfg, imu.mask, scan_dt
+    )
+    # without IMU there is no in-sweep pose trajectory: spin-rate deskew is
+    # approximated by the constant-velocity translation only
+    pts_body = jnp.where(
+        has_imu,
+        pts_body,
+        jnp.where(
+            scan.mask[:, None],
+            scan.xyz @ cfg.ext_R().T
+            + cfg.ext_T()
+            - (state.nav.R.T @ state.nav.v)[None, :]
+            * (scan_dt - scan.t_offset)[:, None],
+            1.0e6,
+        ),
     )
 
     # --- spatial downsample to the iEKF budget (output comes packed) ---
@@ -97,6 +133,12 @@ def odom_step(
     # --- iterated update (identity when the map is still empty: zero valid
     # matches make the MAP step collapse to the propagated state) ---
     nav_upd, n_matched = iekf_update(nav_prop, pts, msk, state.vmap, map_cfg, cfg)
+    # LiDAR-only: velocity is unobservable through the (absent) IMU model —
+    # re-estimate it from the pose correction for the next CV prediction
+    v_fd = (nav_upd.p - state.nav.p) / jnp.maximum(scan_dt, 1e-3)
+    nav_upd = nav_upd._replace(
+        v=jnp.where(has_imu, nav_upd.v, v_fd)
+    )
     nav_new = jax.lax.cond(
         state.initialized, lambda: nav_upd, lambda: nav_prop
     )

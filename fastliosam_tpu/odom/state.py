@@ -53,6 +53,10 @@ class OdomConfig(NamedTuple):
     evict_every: int = 50  # scans between FoV-sliding eviction passes
     # initialization
     init_gravity_samples: int = 10
+    # LiDAR-only (no IMU) constant-velocity process noise per second
+    cv_rot_cov: float = 0.05
+    cv_pos_cov: float = 0.5
+    cv_vel_cov: float = 5.0
 
     def ext_R(self):
         return jnp.asarray(self.extrinsic_R, jnp.float32).reshape(3, 3)

@@ -139,3 +139,35 @@ def test_odom_step_shapes_static(sim_data):
         imu = make_imu_batch(ts, gyro, acc)
         state, aux = step(state, scan, imu, jnp.float32(data["scan_dt"]))
     assert step._cache_size() == 1
+
+
+def test_lidar_only_tracking(sim_data):
+    """No-IMU (KITTI odometry style) tracking via the constant-velocity
+    fallback: drift stays bounded over 20 scans."""
+    data, traj, cfg = sim_data
+    R0, p0 = traj.pose(0.0)
+    state = init_odom(MAP_CFG)
+    state = state._replace(
+        nav=state.nav._replace(
+            R=jnp.asarray(R0, jnp.float32),
+            p=jnp.asarray(p0, jnp.float32),
+            v=jnp.asarray(traj.velocity(0.0), jnp.float32),
+        )
+    )
+    ocfg = ODOM_CFG._replace(max_residual=1.5)
+    step = jax.jit(lambda s, scan, imu, dt: odom_step(s, scan, imu, dt, ocfg, MAP_CFG))
+    empty = ImuBatch(
+        stamps=jnp.full((32,), 1e9, jnp.float32),
+        gyro=jnp.zeros((32, 3)),
+        acc=jnp.zeros((32, 3)),
+        mask=jnp.zeros((32,), bool),
+    )
+    errs = []
+    for k in range(20):
+        pts, toff, mask = data["scans"][k]
+        scan = Scan(jnp.asarray(pts), jnp.asarray(toff), jnp.asarray(mask))
+        state, aux = step(state, scan, empty, jnp.float32(data["scan_dt"]))
+        _, p_gt = data["gt"][k]
+        errs.append(np.linalg.norm(np.asarray(aux["p"]) - p_gt))
+    ate = float(np.sqrt(np.mean(np.square(errs))))
+    assert ate < 0.25, f"lidar-only ATE {ate} errs={errs}"
