@@ -131,6 +131,32 @@ def colorize_cloud(
     return rgb, valid
 
 
+def blur_regions(image: np.ndarray, boxes, ksize: int = 41) -> np.ndarray:
+    """Gaussian-blur axis-aligned regions ``boxes = [(x0, y0, x1, y1), ...]``
+    (pixel coords)."""
+    _require_cv2()
+    out = image.copy()
+    h, w = image.shape[:2]
+    k = ksize | 1
+    for (x0, y0, x1, y1) in boxes:
+        x0, y0 = max(int(x0), 0), max(int(y0), 0)
+        x1, y1 = min(int(x1), w), min(int(y1), h)
+        if x1 <= x0 or y1 <= y0:
+            continue
+        out[y0:y1, x0:x1] = cv2.GaussianBlur(out[y0:y1, x0:x1], (k, k), 0)
+    return out
+
+
+def anonymize_image(image: np.ndarray, detector, ksize: int = 41):
+    """PII anonymization (the reference's `predict.py` YOLO-for-PII
+    capability): run a pluggable ``detector(image) -> [(x0,y0,x1,y1), ...]``
+    (e.g. an ultralytics model's boxes) and blur every detection. Returns
+    ``(image, n_regions)``. Detector weights are deployment-provided; this
+    module only supplies the pipeline."""
+    boxes = detector(image)
+    return blur_regions(image, boxes, ksize), len(boxes)
+
+
 def project_clusters_to_image(
     pts_world: np.ndarray,
     image: np.ndarray,

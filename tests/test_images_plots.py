@@ -105,3 +105,18 @@ def test_plots(tmp_path, rng):
     )
     content = open(html).read()
     assert "leaflet" in content and "polyline" in content.lower()
+
+
+def test_anonymize_pipeline(rng):
+    from fastliosam_tpu.postprocess.images import anonymize_image, blur_regions
+
+    img = (rng.uniform(0, 255, (200, 300, 3))).astype(np.uint8)
+    boxes = [(50, 50, 120, 110), (200, 20, 280, 90)]
+    out = blur_regions(img, boxes)
+    # blurred regions changed, the rest untouched
+    assert (out[50:110, 50:120] != img[50:110, 50:120]).any()
+    np.testing.assert_array_equal(out[:40, :40], img[:40, :40])
+
+    out2, n = anonymize_image(img, lambda im: boxes)
+    assert n == 2
+    np.testing.assert_array_equal(out2, out)
