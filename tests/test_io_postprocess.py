@@ -223,3 +223,38 @@ def test_denoise_slam_map(rng):
     keep2 = denoise_slam_map(pts, inten, min_intensity=10.0,
                              sor_neighbors=10, sor_std=1.5)
     assert not keep2[:5].any()
+
+
+def test_map_matching(rng):
+    from fastliosam_tpu.postprocess.mapmatch import (
+        RoadNetwork,
+        match_trajectory,
+        route_length,
+    )
+
+    # two perpendicular roads meeting at the origin
+    net = RoadNetwork(
+        edges=[
+            np.array([[-100.0, 0.0], [100.0, 0.0]]),  # E-W road
+            np.array([[0.0, -100.0], [0.0, 100.0]]),  # N-S road
+        ]
+    )
+    # drive west->east along road 0 with GPS noise, then turn north
+    xs = np.linspace(-50, 0, 26)
+    leg1 = np.column_stack([xs, rng.normal(size=26) * 2.0])
+    ys = np.linspace(2, 50, 25)
+    leg2 = np.column_stack([rng.normal(size=25) * 2.0, ys])
+    traj = np.vstack([leg1, leg2])
+    edge_idx, snapped, matched = match_trajectory(traj, net, sigma_obs=4.0)
+    assert matched.all()
+    assert (edge_idx[:20] == 0).all()
+    assert (edge_idx[-20:] == 1).all()
+    # snapped points lie on the roads
+    assert np.abs(snapped[:20, 1]).max() < 1e-9
+    assert np.abs(snapped[-20:, 0]).max() < 1e-9
+    assert 90 < route_length(snapped) < 115
+    # far-away point is unmatched
+    e2, s2, m2 = match_trajectory(
+        np.array([[500.0, 500.0]]), net, max_candidate_dist=30.0
+    )
+    assert e2[0] == -1 and not m2[0]
