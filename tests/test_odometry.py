@@ -171,3 +171,42 @@ def test_lidar_only_tracking(sim_data):
         errs.append(np.linalg.norm(np.asarray(aux["p"]) - p_gt))
     ate = float(np.sqrt(np.mean(np.square(errs))))
     assert ate < 0.25, f"lidar-only ATE {ate} errs={errs}"
+
+
+def test_bias_estimation_converges():
+    """With IMU biases enabled in the simulator, the filter's bias states
+    must move toward the true biases over a longer run (validates the
+    F-matrix bias coupling of the error-state model)."""
+    world = PlaneWorld.room(size=30.0, height=6.0, n_boxes=10, seed=1)
+    traj = Trajectory.circle(radius=8.0, period=60.0)
+    true_bg = (0.01, -0.008, 0.012)
+    cfg = SimConfig(
+        n_azimuth=256, n_elev=12, gyro_noise=0.0005, acc_noise=0.005,
+        gyro_bias=true_bg, acc_bias=(0.0, 0.0, 0.0), seed=4,
+    )
+    data = simulate_sequence(world, traj, cfg, n_scans=40)
+    R0, p0 = traj.pose(0.0)
+    state = init_odom(MAP_CFG)
+    state = state._replace(
+        nav=state.nav._replace(
+            R=jnp.asarray(R0, jnp.float32),
+            p=jnp.asarray(p0, jnp.float32),
+            v=jnp.asarray(traj.velocity(0.0), jnp.float32),
+        )
+    )
+    ocfg = ODOM_CFG._replace(b_gyr_cov=1e-3)
+    step = jax.jit(
+        lambda s, scan, imu, dt: odom_step(s, scan, imu, dt, ocfg, MAP_CFG),
+        donate_argnums=(0,),
+    )
+    for k in range(40):
+        pts, toff, mask = data["scans"][k]
+        scan = Scan(jnp.asarray(pts), jnp.asarray(toff), jnp.asarray(mask))
+        ts, gyro, acc = data["imu"][k]
+        imu = make_imu_batch(ts, gyro, acc)
+        state, aux = step(state, scan, imu, jnp.float32(data["scan_dt"]))
+    bg = np.asarray(state.nav.bg)
+    err0 = np.linalg.norm(np.asarray(true_bg))
+    err = np.linalg.norm(bg - np.asarray(true_bg))
+    # bias estimate should have absorbed most of the true bias
+    assert err < 0.65 * err0, f"bg={bg} true={true_bg}"
