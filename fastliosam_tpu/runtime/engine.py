@@ -60,6 +60,11 @@ class EngineConfig(NamedTuple):
     # Variances rad²=1e-4, m²=1e-2 -> sqrt info [10, 100])
     odom_trans_sqrt_info: float = 10.0
     odom_rot_sqrt_info: float = 100.0
+    # pipeline parallelism: device ordinal for loop verification (the
+    # reference's 2 Hz loop timer runs beside the odometry callback; with
+    # >1 device the ICP verification dispatches to another chip and JAX's
+    # async dispatch overlaps it with odometry). None = same device.
+    loop_device: int | None = None
 
 
 class GpsFix(NamedTuple):
@@ -155,10 +160,18 @@ class SlamEngine:
                 pos, stamps, valid, q, self.loop_cfg.radius, self.loop_cfg.time_gap
             )
         )
+        verify_device = (
+            jax.devices()[cfg.loop_device]
+            if cfg.loop_device is not None
+            and cfg.loop_device < len(jax.devices())
+            else None
+        )
+        self._verify_device = verify_device
         self._jit_verify = jax.jit(
             lambda cl, mk, poses, valid, qi, ci: verify_loop(
                 cl, mk, poses, valid, qi, ci, self.loop_cfg
-            )
+            ),
+            device=verify_device,
         )
         self._jit_downsample = jax.jit(
             lambda xyz, mask: _downsample_to_budget(
@@ -250,6 +263,10 @@ class SlamEngine:
 
     # ------------------------------------------------------------------
     def _attempt_loop(self):
+        # resolve a previously launched (asynchronously computed)
+        # verification first — by now its device work has completed in the
+        # background, so reading the accept flag costs ~nothing
+        self._resolve_pending_loop()
         k = self.kf.n
         positions = se3.trans(self.graph.poses)
         idx, found = self._jit_detect(
@@ -258,7 +275,7 @@ class SlamEngine:
         if not bool(found):
             return
         cand = int(idx)
-        rel, sqrt_info, accepted, fitness = self._jit_verify(
+        out = self._jit_verify(
             self.kf.clouds,
             self.kf.masks,
             self.graph.poses,
@@ -266,9 +283,19 @@ class SlamEngine:
             jnp.int32(k - 1),
             jnp.int32(cand),
         )
+        # async: don't force the result now; JAX dispatch lets the ICP run
+        # (optionally on another device) while odometry continues
+        self._pending_loop = (k - 1, cand, out)
+
+    def _resolve_pending_loop(self):
+        pending = getattr(self, "_pending_loop", None)
+        if pending is None:
+            return
+        self._pending_loop = None
+        qi, ci, (rel, sqrt_info, accepted, fitness) = pending
         if bool(accepted):
-            self.graph = add_between(self.graph, k - 1, cand, rel, sqrt_info)
-            self.loop_pairs.append((k - 1, cand))
+            self.graph = add_between(self.graph, qi, ci, rel, sqrt_info)
+            self.loop_pairs.append((qi, ci))
             self._needs_solve = True
 
     # ------------------------------------------------------------------
@@ -342,6 +369,13 @@ class SlamEngine:
     # ------------------------------------------------------------------
     # outputs
     # ------------------------------------------------------------------
+    def finish(self):
+        """Resolve any in-flight loop verification and run a final solve —
+        call once at end of sequence (save_results does)."""
+        self._resolve_pending_loop()
+        if self._needs_solve:
+            self._solve()
+
     def keyframe_poses(self):
         """Corrected keyframe poses (n, 4, 4) numpy."""
         return np.asarray(self.graph.poses[: self.kf.n])

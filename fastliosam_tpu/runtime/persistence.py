@@ -29,6 +29,7 @@ def save_results(engine: SlamEngine, out_dir: str, seq_name: str = "seq",
     """Write KITTI + TUM trajectories, the corrected global map PCD and the
     keyframe bundle. Returns the written paths."""
     os.makedirs(out_dir, exist_ok=True)
+    engine.finish()
     paths = {}
     n = engine.kf.n
     kf_poses = engine.keyframe_poses()

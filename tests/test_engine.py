@@ -200,3 +200,28 @@ def test_gps_fusion(loop_run):
         for k in range(len(poses))
     ]
     assert float(np.sqrt(np.mean(np.square(errs)))) < 0.6
+
+
+def test_loop_on_second_device(loop_run):
+    """Pipeline-parallel loop verification: dispatch ICP to device 1 of the
+    virtual mesh; loops must still be found and the pipeline stays accurate."""
+    import jax
+
+    assert len(jax.devices()) >= 2
+    data, traj = loop_run
+    engine = make_engine()
+    engine.cfg = engine.cfg._replace(loop_device=1)
+    # rebuild the verify jit on the chosen device
+    engine.__init__(
+        odom_cfg=engine.odom_cfg, map_cfg=engine.map_cfg,
+        loop_cfg=engine.loop_cfg, pgo_cfg=engine.pgo_cfg,
+        cfg=engine.cfg,
+    )
+    poses = run_engine(engine, data, traj)
+    engine.finish()
+    assert len(engine.loop_pairs) >= 1
+    errs = [
+        np.linalg.norm(poses[k][:3, 3] - data["gt"][k][1])
+        for k in range(len(poses))
+    ]
+    assert float(np.sqrt(np.mean(np.square(errs)))) < 0.35
