@@ -54,27 +54,42 @@ def iekf_update(
 
     plane_n, plane_d, assoc = _query_planes(x, pts_body, mask, vmap, map_cfg, cfg)
 
+    # LiDAR-frame points, recovered once through the propagated extrinsic —
+    # the measurement model below re-applies the *current* extrinsic each
+    # iteration so the residual genuinely depends on it (otherwise the
+    # extrinsic block would chase a phantom gradient and diverge)
+    p_l = (pts_body - x_prop.t_ext) @ x_prop.R_ext
+
     S = None
     for it in range(cfg.max_iteration):
+        q_b = p_l @ x.R_ext.T + x.t_ext if cfg.extrinsic_est_en else pts_body
         if 0 < it <= cfg.requery_iters:
             plane_n, plane_d, assoc = _query_planes(
-                x, pts_body, mask, vmap, map_cfg, cfg
+                x, q_b, mask, vmap, map_cfg, cfg
             )
-        pw = pts_body @ x.R.T + x.p
+        pw = q_b @ x.R.T + x.p
         n = plane_n
         r = jnp.sum(n * pw, axis=-1) + plane_d
         valid = assoc & (jnp.abs(r) < cfg.max_residual)
         w = valid.astype(jnp.float32) * inv_R
         n_matched = jnp.sum(valid.astype(jnp.int32))
-        # sparse Jacobian rows: A = [dr/dδθ, dr/dδp]  (N, 6)
+        # sparse Jacobian rows: A = [dr/dδθ, dr/dδp(, dr/dδθ_ext, dr/dδt_ext)]
         v = n @ x.R  # Rᵀ n per point
-        jtheta = jnp.cross(pts_body, v)
-        A = jnp.concatenate([jtheta, n], axis=-1)
+        jtheta = jnp.cross(q_b, v)
+        cols = [jtheta, n]
+        col_idx = list(range(0, 6))
+        if cfg.extrinsic_est_en:
+            v_ext = v @ x.R_ext  # (R R_ext)ᵀ n
+            cols.append(jnp.cross(p_l, v_ext))  # dr/dδθ_ext
+            cols.append(v)  # dr/dδt_ext = nᵀ R
+            col_idx += list(range(18, 24))
+        A = jnp.concatenate(cols, axis=-1)  # (N, 6 or 12)
         Aw = A * w[:, None]
-        G = A.T @ Aw  # (6, 6) Gram — MXU matmul over the point axis
-        b6 = Aw.T @ r  # (6,)
-        HtRH = jnp.zeros((18, 18), jnp.float32).at[:6, :6].set(G)
-        Htr = jnp.zeros((18,), jnp.float32).at[:6].set(b6)
+        G = A.T @ Aw  # Gram — MXU matmul over the point axis
+        bvec = Aw.T @ r
+        ii = jnp.asarray(col_idx)
+        HtRH = jnp.zeros((24, 24), jnp.float32).at[jnp.ix_(ii, ii)].set(G)
+        Htr = jnp.zeros((24,), jnp.float32).at[ii].set(bvec)
         dxi = boxminus(x, x_prop)
         S = HtRH + P_inv
         rhs = -(Htr + P_inv @ dxi)

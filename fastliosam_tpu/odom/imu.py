@@ -60,15 +60,16 @@ def propagate(x: NavState, imu: ImuBatch, cfg: OdomConfig, scan_dt):
         R_n = so3.normalize_matrix(R @ dR)
         p_n = p + v * dt + 0.5 * a_w * dt * dt
         v_n = v + a_w * dt
-        # error-state transition F (first order in dt)
-        F = jnp.eye(18, dtype=jnp.float32)
+        # error-state transition F (first order in dt); the extrinsic
+        # block (18:24) is constant -> identity rows
+        F = jnp.eye(24, dtype=jnp.float32)
         F = F.at[0:3, 0:3].set(dR.T)
         F = F.at[0:3, 9:12].set(-jnp.eye(3) * dt)
         F = F.at[3:6, 6:9].set(jnp.eye(3) * dt)
         F = F.at[6:9, 0:3].set(-(R @ so3.hat(a)) * dt)
         F = F.at[6:9, 12:15].set(-R * dt)
         F = F.at[6:9, 15:18].set(jnp.eye(3) * dt)
-        Q = jnp.zeros((18, 18), jnp.float32)
+        Q = jnp.zeros((24, 24), jnp.float32)
         Q = Q.at[0:3, 0:3].set(jnp.eye(3) * cfg.gyr_cov * dt * dt)
         Q = Q.at[6:9, 6:9].set(jnp.eye(3) * cfg.acc_cov * dt * dt)
         Q = Q.at[9:12, 9:12].set(jnp.eye(3) * cfg.b_gyr_cov * dt * dt)
@@ -94,9 +95,9 @@ def deskew(pts_lidar, t_offsets, pt_mask, traj, x_end: NavState, cfg: OdomConfig
     in the scan-end body frame.
     """
     Rs, ps, vs, ws, aws, stamps = traj
-    # points in body (IMU) frame at their own capture time
-    ext_R, ext_T = cfg.ext_R(), cfg.ext_T()
-    pb = pts_lidar @ ext_R.T + ext_T
+    # points in body (IMU) frame at their own capture time (uses the
+    # state's current extrinsic so online refinement feeds back)
+    pb = pts_lidar @ x_end.R_ext.T + x_end.t_ext
 
     # interval lookup: the last IMU stamp <= t (masked lanes get +inf)
     key_stamps = jnp.where(imu_mask, stamps, jnp.inf)

@@ -39,9 +39,10 @@ class OdomState(NamedTuple):
     initialized: jnp.ndarray  # bool scalar (map bootstrapped)
 
 
-def init_odom(map_cfg: vh.VoxelMapConfig, g_world=None) -> OdomState:
+def init_odom(map_cfg: vh.VoxelMapConfig, odom_cfg: OdomConfig | None = None,
+              g_world=None) -> OdomState:
     return OdomState(
-        nav=init_state(g_world),
+        nav=init_state(g_world, odom_cfg),
         vmap=vh.make_map(map_cfg),
         scan_idx=jnp.zeros((), jnp.int32),
         initialized=jnp.zeros((), bool),
@@ -99,7 +100,7 @@ def odom_step(
                     jnp.full((3,), cfg.cv_rot_cov * scan_dt),
                     jnp.full((3,), cfg.cv_pos_cov * scan_dt),
                     jnp.full((3,), cfg.cv_vel_cov * scan_dt),
-                    jnp.full((9,), 1e-8),
+                    jnp.full((15,), 1e-8),
                 ]
             ).astype(jnp.float32)
         )
@@ -116,8 +117,8 @@ def odom_step(
         pts_body,
         jnp.where(
             scan.mask[:, None],
-            scan.xyz @ cfg.ext_R().T
-            + cfg.ext_T()
+            scan.xyz @ state.nav.R_ext.T
+            + state.nav.t_ext
             - (state.nav.R.T @ state.nav.v)[None, :]
             * (scan_dt - scan.t_offset)[:, None],
             1.0e6,

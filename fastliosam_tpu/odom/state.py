@@ -1,9 +1,13 @@
 """Navigation state and error-state utilities for the iterated ESKF.
 
 FAST-LIO2-capability state (SURVEY.md §3.6): rotation, position, velocity,
-gyro/accel biases, and gravity, with an 18-dim error state ordered
-``[dtheta(0:3), dp(3:6), dv(6:9), dbg(9:12), dba(12:15), dg(15:18)]``.
-Rotation error uses the local (right) convention ``R_true = R_est Exp(dθ)``.
+gyro/accel biases, gravity, and the LiDAR-IMU extrinsic, with a 24-dim
+error state ordered ``[dtheta(0:3), dp(3:6), dv(6:9), dbg(9:12),
+dba(12:15), dg(15:18), dtheta_ext(18:21), dt_ext(21:24)]``. Rotation
+errors use the local (right) convention ``R_true = R_est Exp(dθ)``. When
+``extrinsic_est_en`` is off the extrinsic block carries ~zero covariance
+and never moves — one uniform code path for both modes (FAST-LIO2's
+``mapping.extrinsic_est_en`` contract).
 
 The parameter surface mirrors the reference's FAST-LIO config contract
 (`third_party/fastlio_config_launch/kitti.yaml:16-27`, `kitti.launch:6-11`).
@@ -16,7 +20,7 @@ import jax.numpy as jnp
 
 from ..core import so3
 
-STATE_DIM = 18
+STATE_DIM = 24
 GRAVITY = 9.81
 
 
@@ -46,6 +50,8 @@ class OdomConfig(NamedTuple):
     # extrinsics: lidar -> imu (mapping.extrinsic_T / extrinsic_R)
     extrinsic_T: tuple = (0.0, 0.0, 0.0)
     extrinsic_R: tuple = (1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
+    extrinsic_est_en: bool = False  # online extrinsic refinement
+    extrinsic_prior_cov: float = 1e-4  # initial ext covariance when enabled
     # budgets (static shapes)
     max_imu_per_scan: int = 32
     num_ds_points: int = 8192  # downsampled points fed to the iEKF
@@ -72,12 +78,16 @@ class NavState(NamedTuple):
     bg: jnp.ndarray  # (3,)
     ba: jnp.ndarray  # (3,)
     g: jnp.ndarray  # (3,) gravity in world frame (approx [0,0,-9.81])
-    P: jnp.ndarray  # (18, 18) error covariance
+    R_ext: jnp.ndarray  # (3, 3) LiDAR -> IMU rotation
+    t_ext: jnp.ndarray  # (3,) LiDAR -> IMU translation
+    P: jnp.ndarray  # (24, 24) error covariance
 
 
-def init_state(g_world=None) -> NavState:
+def init_state(g_world=None, cfg: OdomConfig | None = None) -> NavState:
     if g_world is None:
         g_world = jnp.array([0.0, 0.0, -GRAVITY], jnp.float32)
+    cfg = cfg or OdomConfig()
+    ext_cov = cfg.extrinsic_prior_cov if cfg.extrinsic_est_en else 1e-12
     P = jnp.diag(
         jnp.concatenate(
             [
@@ -87,6 +97,7 @@ def init_state(g_world=None) -> NavState:
                 jnp.full((3,), 1e-4),  # bg
                 jnp.full((3,), 1e-3),  # ba
                 jnp.full((3,), 1e-4),  # gravity
+                jnp.full((6,), ext_cov),  # extrinsic (frozen when disabled)
             ]
         ).astype(jnp.float32)
     )
@@ -97,12 +108,14 @@ def init_state(g_world=None) -> NavState:
         bg=jnp.zeros(3, jnp.float32),
         ba=jnp.zeros(3, jnp.float32),
         g=g_world.astype(jnp.float32),
+        R_ext=cfg.ext_R(),
+        t_ext=cfg.ext_T(),
         P=P,
     )
 
 
 def boxplus(x: NavState, dx) -> NavState:
-    """Apply an 18-dim error-state increment."""
+    """Apply a 24-dim error-state increment."""
     return x._replace(
         R=so3.normalize_matrix(x.R @ so3.exp(dx[0:3])),
         p=x.p + dx[3:6],
@@ -110,11 +123,13 @@ def boxplus(x: NavState, dx) -> NavState:
         bg=x.bg + dx[9:12],
         ba=x.ba + dx[12:15],
         g=x.g + dx[15:18],
+        R_ext=so3.normalize_matrix(x.R_ext @ so3.exp(dx[18:21])),
+        t_ext=x.t_ext + dx[21:24],
     )
 
 
 def boxminus(a: NavState, b: NavState):
-    """18-dim error a ⊟ b (so that b ⊞ (a ⊟ b) == a)."""
+    """24-dim error a ⊟ b (so that b ⊞ (a ⊟ b) == a)."""
     return jnp.concatenate(
         [
             so3.log(b.R.T @ a.R),
@@ -123,5 +138,7 @@ def boxminus(a: NavState, b: NavState):
             a.bg - b.bg,
             a.ba - b.ba,
             a.g - b.g,
+            so3.log(b.R_ext.T @ a.R_ext),
+            a.t_ext - b.t_ext,
         ]
     )

@@ -121,7 +121,7 @@ class SlamEngine:
         self.pgo_cfg = pgo_cfg
         self.cfg = cfg
 
-        self.odom = init_odom(map_cfg)
+        self.odom = init_odom(map_cfg, odom_cfg)
         self.graph: PoseGraph = make_graph(pgo_cfg)
         # keyframe clouds come from the downsampled odometry cloud, so their
         # budget can never exceed the odometry point budget

@@ -66,7 +66,7 @@ class MapLocalizer:
         self.map_cfg = map_cfg
         self.odom_cfg = odom_cfg
         self.vmap = build_map_from_keyframes(bundle_path, map_cfg)
-        self.nav: NavState = init_state()
+        self.nav: NavState = init_state(cfg=odom_cfg)
         self.initialized = False
 
         def _step(nav, vmap, scan, imu, dt):
