@@ -52,6 +52,16 @@ def save_results(engine: SlamEngine, out_dir: str, seq_name: str = "seq",
     write_pcd(p, pts.astype(np.float32))
     paths["map_pcd"] = p
 
+    # 3D viewer (RViz-replacement visualization)
+    from ..postprocess.viewer3d import write_map_viewer
+
+    p = os.path.join(out_dir, f"{seq_name}_viewer.html")
+    write_map_viewer(
+        p, pts, trajectory=kf_poses[:, :3, 3], loop_pairs=engine.loop_pairs,
+        title=seq_name,
+    )
+    paths["viewer"] = p
+
     # keyframe bundle (rosbag-of-keyframes analog for relocalization)
     p = os.path.join(out_dir, f"{seq_name}_keyframes.npz")
     np.savez_compressed(

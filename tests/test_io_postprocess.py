@@ -258,3 +258,19 @@ def test_map_matching(rng):
         np.array([[500.0, 500.0]]), net, max_candidate_dist=30.0
     )
     assert e2[0] == -1 and not m2[0]
+
+
+def test_map_viewer_html(tmp_path, rng):
+    from fastliosam_tpu.postprocess.viewer3d import write_map_viewer
+
+    pts = rng.normal(size=(5000, 3)).astype(np.float32) * 10
+    traj = np.column_stack(
+        [np.linspace(0, 20, 30), np.zeros(30), np.ones(30)]
+    )
+    p = write_map_viewer(
+        str(tmp_path / "v.html"), pts, trajectory=traj,
+        loop_pairs=[(0, 29)], max_points=2000,
+    )
+    html = open(p).read()
+    assert "three" in html and "OrbitControls" in html
+    assert "2000 pts" in html and "30 keyframes" in html and "1 loops" in html
