@@ -129,7 +129,11 @@ def _dense_step(g: PoseGraph, cfg: PoseGraphConfig, prior_pose, lam):
     damp = lam * dk + 1e-6  # (K, 6)
     Hfull = jnp.swapaxes(H, 1, 2).reshape(K * 6, K * 6)
     Hfull = Hfull + jnp.diag(damp.reshape(-1))
-    dx = jnp.linalg.solve(Hfull, b.reshape(-1))
+    # damped GN normal matrix is SPD -> Cholesky (XLA's TPU LU with row
+    # pivoting is several times slower than the blocked Cholesky)
+    L = jnp.linalg.cholesky(Hfull)
+    y = jax.scipy.linalg.solve_triangular(L, b.reshape(-1), lower=True)
+    dx = jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
     return dx.reshape(K, 6)
 
 
