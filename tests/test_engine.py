@@ -124,6 +124,7 @@ def test_map_assembly_and_persistence(loop_run, tmp_path):
     data, traj = loop_run
     engine = make_engine()
     run_engine(engine, data, traj)
+    engine.finish()  # resolve pending loop verifications before snapshotting
     pts = engine.assemble_map(voxel=0.4)
     assert len(pts) > 1000
     # the map must stay within the room bounds (30 m + margin)
