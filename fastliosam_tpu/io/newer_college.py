@@ -8,7 +8,7 @@ decodes through the self-contained `io.rosbag` layer.
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -17,11 +17,11 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core import se3
 from ..pgo.graph import PoseGraph, PoseGraphConfig
-from ..pgo.solver import _between_residuals, _gps_residuals, _prior_residual, graph_cost
+from ..pgo.solver import _between_residuals, _gps_residuals, _prior_residual
 
 _EPS = 1e-12
 

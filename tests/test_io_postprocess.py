@@ -274,3 +274,21 @@ def test_map_viewer_html(tmp_path, rng):
     html = open(p).read()
     assert "three" in html and "OrbitControls" in html
     assert "2000 pts" in html and "30 keyframes" in html and "1 loops" in html
+
+
+def test_stage_timer():
+    import time as _time
+
+    from fastliosam_tpu.utils import StageTimer, colorize
+
+    t = StageTimer()
+    for _ in range(3):
+        with t("stage_a"):
+            _time.sleep(0.01)
+    with t("stage_b"):
+        _time.sleep(0.005)
+    stats = t.stats()
+    assert stats["stage_a"]["count"] == 3
+    assert stats["stage_a"]["mean_ms"] >= 9.0
+    assert "stage_b" in t.summary()
+    assert "\033[" in colorize("x", "red")
