@@ -258,10 +258,25 @@ def main():
     import jax
 
     backend = jax.default_backend()
+    t_start = time.perf_counter()
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1500"))
     data = get_sequence()
     scans_per_sec, ate, matched = bench_odometry(data)
-    pgo_ms, pgo_cost = bench_pgo()
-    icp_ms, icp_fit = bench_loop_icp()
+
+    # secondary metrics are best-effort inside the time budget — the
+    # primary JSON line must always be printed (first compiles on the
+    # remote-compile TPU path can take minutes each)
+    pgo_ms = icp_ms = -1.0
+    try:
+        if time.perf_counter() - t_start < budget_s:
+            pgo_ms, pgo_cost = bench_pgo()
+    except Exception as e:  # pragma: no cover
+        print(f"# bench_pgo failed: {e}", file=sys.stderr)
+    try:
+        if time.perf_counter() - t_start < budget_s:
+            icp_ms, icp_fit = bench_loop_icp()
+    except Exception as e:  # pragma: no cover
+        print(f"# bench_loop_icp failed: {e}", file=sys.stderr)
     result = {
         "metric": "odom_scans_per_sec_per_chip",
         "value": round(scans_per_sec, 2),
