@@ -5,6 +5,7 @@ from .voxel_hash import (  # noqa: F401
     insert,
     query_planes,
     query_planes_merged,
+    query_planes_merged2,
     evict_far,
     occupied_centroids,
 )

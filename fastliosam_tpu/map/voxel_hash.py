@@ -334,6 +334,57 @@ def query_planes_merged(m: VoxelMap, cfg: VoxelMapConfig, xyz, mask):
     return normal, d, valid
 
 
+def query_planes_merged2(m: VoxelMap, cfg: VoxelMapConfig, xyz, mask):
+    """Plane fit from the query's own voxel merged with its single nearest
+    face neighbor (chosen by the point's in-voxel offset).
+
+    The cheap middle ground between :func:`query_planes` (1 voxel) and
+    :func:`query_planes_merged` (7 voxels): captures the dominant
+    boundary-straddling case at ~2/7 of the gather traffic.
+    """
+    coords0 = _voxel_coords(xyz, cfg.voxel_size)
+    n = xyz.shape[0]
+    c0 = _voxel_center(coords0, cfg.voxel_size)
+    # dominant offset axis decides the neighbor
+    off = xyz - c0  # in [-vs/2, vs/2]
+    ax = jnp.argmax(jnp.abs(off), axis=-1)
+    step = jnp.sign(
+        jnp.take_along_axis(off, ax[:, None], axis=-1)[:, 0]
+    ).astype(jnp.int32)
+    nb = coords0.at[jnp.arange(n), ax].add(step)
+
+    tot_c = jnp.zeros((n,), jnp.float32)
+    tot_s = jnp.zeros((n, 3), jnp.float32)
+    tot_o = jnp.zeros((n, 3, 3), jnp.float32)
+    for coords in (coords0, nb):
+        slots, found = _find_slots(m, cfg, coords, mask)
+        sl = jnp.clip(slots, 0, cfg.capacity - 1)
+        w = found.astype(jnp.float32)
+        ci = m.count[sl] * w
+        si = m.psum[sl] * w[:, None]
+        oi = _unpack_sym(m.pouter[sl]) * w[:, None, None]
+        dc = _voxel_center(coords, cfg.voxel_size) - c0
+        tot_c = tot_c + ci
+        tot_s = tot_s + si + ci[:, None] * dc
+        cross = si[:, :, None] * dc[:, None, :]
+        tot_o = (
+            tot_o
+            + oi
+            + cross
+            + jnp.swapaxes(cross, -1, -2)
+            + ci[:, None, None] * (dc[:, :, None] * dc[:, None, :])
+        )
+
+    safe_c = jnp.maximum(tot_c, 1.0)
+    mean = tot_s / safe_c[:, None]
+    cov = tot_o / safe_c[:, None, None] - mean[:, :, None] * mean[:, None, :]
+    normal, lam = smallest_eigvec3(cov)
+    mean_world = c0 + mean
+    d = -jnp.sum(normal * mean_world, axis=-1)
+    valid = mask & (tot_c >= cfg.min_points) & (lam[..., 0] < cfg.plane_var_thresh)
+    return normal, d, valid
+
+
 def evict_far(m: VoxelMap, cfg: VoxelMapConfig, center_xyz, det_range):
     """Clear voxels farther than ``det_range`` from ``center_xyz`` (FoV
     sliding, FAST-LIO ``det_range``/``cube_side_length`` semantics)."""

@@ -28,6 +28,8 @@ def _query_planes(x, pts_body, mask, vmap, map_cfg, cfg: OdomConfig):
     pw = pts_body @ x.R.T + x.p
     if cfg.query_mode == "merged":
         return vh.query_planes_merged(vmap, map_cfg, pw, mask)
+    if cfg.query_mode == "merged2":
+        return vh.query_planes_merged2(vmap, map_cfg, pw, mask)
     return vh.query_planes(vmap, map_cfg, pw, mask)
 
 

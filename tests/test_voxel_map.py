@@ -138,3 +138,19 @@ def test_vertical_wall_plane(rng):
     normal, valid = np.asarray(normal), np.asarray(valid)
     assert valid.mean() > 0.8
     assert np.all(np.abs(normal[valid][:, 0]) > 0.99)
+
+
+def test_merged2_query_matches_plane(rng):
+    from fastliosam_tpu.map import query_planes_merged2
+
+    pts = plane_points(rng, 4000, [0.3, -0.2, 1.0], 0.5, noise=0.005)
+    m = make_map(CFG)
+    m, _ = insert(m, CFG, jnp.asarray(pts), jnp.ones((4000,), bool))
+    qpts = plane_points(rng, 64, [0.3, -0.2, 1.0], 0.5)
+    normal, d, valid = query_planes_merged2(
+        m, CFG, jnp.asarray(qpts), jnp.ones((64,), bool)
+    )
+    normal, d, valid = map(np.asarray, (normal, d, valid))
+    assert valid.mean() > 0.85
+    res = np.abs(np.sum(normal[valid] * qpts[valid], axis=1) + d[valid])
+    assert np.median(res) < 0.05
