@@ -128,8 +128,8 @@ class SlamEngine:
         self.kf_points = min(cfg.kf_cloud_points, odom_cfg.num_ds_points)
         self.kf = KeyframeStore.create(pgo_cfg.max_keyframes, self.kf_points)
 
-        self.last_kf_raw = jnp.eye(4, dtype=jnp.float32)
-        self.last_kf_corrected = jnp.eye(4, dtype=jnp.float32)
+        self.last_kf_raw = np.eye(4, dtype=np.float32)
+        self.last_kf_corrected = np.eye(4, dtype=np.float32)
         self.scan_count = 0
         self.loop_pairs: list[tuple[int, int]] = []
         self.raw_traj: list[np.ndarray] = []  # per-scan raw odometry poses
@@ -173,10 +173,37 @@ class SlamEngine:
             ),
             device=verify_device,
         )
-        self._jit_downsample = jax.jit(
-            lambda xyz, mask: _downsample_to_budget(
-                xyz, mask, cfg.kf_cloud_voxel, self.kf_points
+        def _commit_keyframe(
+            graph, kf_clouds, kf_masks, kf_raw_poses, kf_stamps,
+            k, cloud_world, cloud_mask, raw_T, corrected_T, prev_raw_T, stamp,
+        ):
+            """One dispatch per keyframe: store the body-frame downsampled
+            cloud + poses/stamps and append graph entries (eager per-field
+            updates would each cost a host<->device round trip)."""
+            body = se3.apply_inverse(raw_T, cloud_world[None])[0]
+            cl, mk = _downsample_to_budget(
+                body, cloud_mask, cfg.kf_cloud_voxel, self.kf_points
             )
+            kf_clouds = kf_clouds.at[k].set(cl)
+            kf_masks = kf_masks.at[k].set(mk)
+            kf_raw_poses = kf_raw_poses.at[k].set(raw_T)
+            kf_stamps = kf_stamps.at[k].set(stamp)
+            graph = add_keyframe(graph, corrected_T)
+            rel = se3.between(prev_raw_T, raw_T)
+            sqrt_info = jnp.asarray(
+                [cfg.odom_trans_sqrt_info] * 3 + [cfg.odom_rot_sqrt_info] * 3,
+                jnp.float32,
+            )
+            graph = jax.lax.cond(
+                k > 0,
+                lambda g: add_between(g, k - 1, k, rel, sqrt_info),
+                lambda g: g,
+                graph,
+            )
+            return graph, kf_clouds, kf_masks, kf_raw_poses, kf_stamps
+
+        self._jit_commit_kf = jax.jit(
+            _commit_keyframe, donate_argnums=(0, 1, 2, 3, 4)
         )
 
     # ------------------------------------------------------------------
@@ -192,29 +219,33 @@ class SlamEngine:
         self.odom, aux = self._jit_odom(
             self.odom, scan, imu, jnp.float32(scan_dt)
         )
-        raw_T = se3.make(aux["R"], aux["p"])
+        # single small readback per scan; all pose composition below is
+        # host-side numpy (eager device ops cost a full round trip each on
+        # remote-attached accelerators)
+        R_np = np.asarray(aux["R"])
+        p_np = np.asarray(aux["p"])
+        raw_T = np.eye(4, dtype=np.float32)
+        raw_T[:3, :3] = R_np
+        raw_T[:3, 3] = p_np
 
         # realtime correction by delta-chaining (fast_lio_sam.cpp:374-384)
-        delta = se3.between(self.last_kf_raw, raw_T)
-        corrected_T = se3.compose(self.last_kf_corrected, delta)
+        last_raw = np.asarray(self.last_kf_raw)
+        last_corr = np.asarray(self.last_kf_corrected)
+        delta = np.linalg.inv(last_raw) @ raw_T
+        corrected_T = (last_corr @ delta).astype(np.float32)
 
-        p_np = np.asarray(aux["p"])
         if self._last_p is not None:
             self.traj_len += float(np.linalg.norm(p_np - self._last_p))
         self._last_p = p_np
-        self.raw_traj.append(np.asarray(raw_T))
-        self.realtime_traj.append(np.asarray(corrected_T))
+        self.raw_traj.append(raw_T)
+        self.realtime_traj.append(corrected_T)
         self.scan_stamps.append(float(stamp))
 
         # keyframe decision (checkIfKeyframe, fast_lio_sam.cpp:1093-1096)
         if self.kf.n == 0:
             self._add_keyframe(raw_T, corrected_T, aux, stamp)
         else:
-            dist = float(
-                np.linalg.norm(
-                    np.asarray(se3.trans(raw_T) - se3.trans(self.last_kf_raw))
-                )
-            )
+            dist = float(np.linalg.norm(raw_T[:3, 3] - last_raw[:3, 3]))
             if dist > self.cfg.keyframe_threshold:
                 self._add_keyframe(raw_T, corrected_T, aux, stamp)
 
@@ -237,26 +268,31 @@ class SlamEngine:
         if k >= self.pgo_cfg.max_keyframes:
             return
         # store body-frame cloud (PosePcd stores LiDAR-frame clouds,
-        # pose_pcd.hpp:39-40) — here: scan-end body frame points
-        body = se3.apply_inverse(raw_T, aux["cloud_world"][None])[0]
-        cl, mk = self._jit_downsample(body, aux["cloud_mask"])
-        self.kf.clouds = self.kf.clouds.at[k].set(cl)
-        self.kf.masks = self.kf.masks.at[k].set(mk)
-        self.kf.raw_poses = self.kf.raw_poses.at[k].set(raw_T)
-        self.kf.stamps = self.kf.stamps.at[k].set(stamp)
+        # pose_pcd.hpp:39-40) + graph entries in ONE jitted dispatch
+        prev_raw = self.last_kf_raw
+        (
+            self.graph,
+            self.kf.clouds,
+            self.kf.masks,
+            self.kf.raw_poses,
+            self.kf.stamps,
+        ) = self._jit_commit_kf(
+            self.graph,
+            self.kf.clouds,
+            self.kf.masks,
+            self.kf.raw_poses,
+            self.kf.stamps,
+            jnp.int32(k),
+            aux["cloud_world"],
+            aux["cloud_mask"],
+            jnp.asarray(raw_T, jnp.float32),
+            jnp.asarray(corrected_T, jnp.float32),
+            jnp.asarray(prev_raw, jnp.float32),
+            jnp.float32(stamp),
+        )
         self.kf.n = k + 1
-
-        self.graph = add_keyframe(self.graph, corrected_T)
-        if k > 0:
-            rel = se3.between(self.kf.raw_poses[k - 1], raw_T)
-            sqrt_info = jnp.asarray(
-                [self.cfg.odom_trans_sqrt_info] * 3
-                + [self.cfg.odom_rot_sqrt_info] * 3,
-                jnp.float32,
-            )
-            self.graph = add_between(self.graph, k - 1, k, rel, sqrt_info)
-        self.last_kf_raw = raw_T
-        self.last_kf_corrected = corrected_T
+        self.last_kf_raw = np.asarray(raw_T)
+        self.last_kf_corrected = np.asarray(corrected_T)
 
         if self.cfg.use_gps:
             self._try_add_gps_factor(k, stamp, corrected_T)
@@ -306,8 +342,8 @@ class SlamEngine:
         k = self.kf.n
         # feedback: re-anchor realtime correction at the latest keyframe
         # (fast_lio_sam.cpp:515-537 corrected-estimate readback)
-        self.last_kf_corrected = self.graph.poses[k - 1]
-        self.last_kf_raw = self.kf.raw_poses[k - 1]
+        self.last_kf_corrected = np.asarray(self.graph.poses[k - 1])
+        self.last_kf_raw = np.asarray(self.kf.raw_poses[k - 1])
 
     # ------------------------------------------------------------------
     # GPS path (gpsCallback + add_gps_factor, fast_lio_sam.cpp:148-260)
