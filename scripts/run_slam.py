@@ -99,6 +99,8 @@ def run_kitti(args, engine):
     from fastliosam_tpu.io.native import read_bins
     from fastliosam_tpu.odom import ImuBatch, Scan
 
+    import jax
+
     seq = KittiSequence(args.root, args.seq)
     cap = args.scan_capacity
     print(f"KITTI {args.seq}: {len(seq)} scans")
@@ -106,18 +108,33 @@ def run_kitti(args, engine):
         stamps=jnp.full((8,), 1e9, jnp.float32),
         gyro=jnp.zeros((8, 3)),
         acc=jnp.zeros((8, 3)),
-        mask=jnp.zeros((8,), bool),
+        mask=jnp.zeros((8, ), bool),
     )
+
+    def stage(i):
+        """Decode (native mmap reader) + async host->device transfer —
+        issued one scan ahead so the copy overlaps compute."""
+        from fastliosam_tpu.io.native import read_bin
+
+        raw, n = read_bin(
+            os.path.join(seq.velo_dir, seq.files[i]), cap
+        )
+        xyz = raw[:, :3].copy()
+        from fastliosam_tpu.io.kitti import _azimuth_time_offsets
+
+        toff = _azimuth_time_offsets(xyz)
+        return Scan(
+            xyz=jax.device_put(xyz),
+            t_offset=jax.device_put(toff),
+            mask=jax.device_put(np.arange(cap) < n),
+        )
+
+    nxt = stage(0)
     t_prev = 0.0
     for i in range(len(seq)):
-        xyz, inten, toff = seq.scan(i)
-        n = min(len(xyz), cap)
-        pad = cap - n
-        scan = Scan(
-            xyz=jnp.asarray(np.pad(xyz[:n], ((0, pad), (0, 0)), constant_values=1e6)),
-            t_offset=jnp.asarray(np.pad(toff[:n], (0, pad))),
-            mask=jnp.asarray(np.arange(cap) < n),
-        )
+        scan = nxt
+        if i + 1 < len(seq):
+            nxt = stage(i + 1)  # async: overlaps with the step below
         stamp = float(seq.times[i])
         engine.process(scan, empty_imu, stamp, max(stamp - t_prev, 0.05))
         t_prev = stamp
