@@ -30,18 +30,31 @@ def build_engine(args):
     from fastliosam_tpu.pgo import PoseGraphConfig
     from fastliosam_tpu.runtime import EngineConfig, SlamEngine
 
-    return SlamEngine(
-        odom_cfg=OdomConfig(
+    if args.dataset == "bag":
+        # preset carries the full FAST-LIO parameter surface for the sensor
+        from fastliosam_tpu.io.presets import PRESETS, odom_config_kwargs
+
+        pre = PRESETS[args.preset]
+        odom_cfg = OdomConfig(
+            num_ds_points=args.num_ds_points, **odom_config_kwargs(pre)
+        )
+        filter_size_map = pre.filter_size_map
+    else:
+        odom_cfg = OdomConfig(
             point_filter_num=args.point_filter_num,
             blind=args.blind,
             filter_size_surf=args.filter_size_surf,
             num_ds_points=args.num_ds_points,
             det_range=args.det_range,
             max_iteration=args.max_iteration,
-        ),
+        )
+        filter_size_map = args.filter_size_map
+
+    return SlamEngine(
+        odom_cfg=odom_cfg,
         map_cfg=VoxelMapConfig(
             capacity=1 << args.map_capacity_log2,
-            voxel_size=args.filter_size_map,
+            voxel_size=filter_size_map,
         ),
         loop_cfg=LoopConfig(
             radius=args.loop_radius,
@@ -278,12 +291,78 @@ def run_newer_college(args, engine):
         t_prev = stamp
 
 
+def run_bag(args, engine):
+    """Stream a ROS1 bag through a sensor preset — the `run.launch`
+    `lidar:=<preset>` selection surface (run.launch:20-46)."""
+    import jax.numpy as jnp
+
+    from fastliosam_tpu.io.presets import PRESETS, BagSequence
+    from fastliosam_tpu.odom import ImuBatch, Scan
+    from fastliosam_tpu.runtime import GpsFix
+
+    pre = PRESETS[args.preset]
+    seq = BagSequence(args.root, pre)
+    cap = args.scan_capacity
+    imu_cap = 64
+    imu_buf: list[tuple] = []
+    gps_buf: list[GpsFix] = []
+    t_prev = None
+    n_scans = 0
+    for kind, stamp, payload in seq.stream():
+        if kind == "imu":
+            imu_buf.append((stamp, *payload))
+            continue
+        if kind == "gps":
+            lat, lon, alt, cov, status = payload
+            gps_buf.append(GpsFix(stamp=stamp, lat=lat, lon=lon, alt=alt,
+                                  cov_xyz=cov, status=status))
+            continue
+        xyz, inten, toff = payload
+        if t_prev is None:
+            t_prev = stamp - 0.1
+        rel = [(s - t_prev, g, a) for (s, g, a) in imu_buf if t_prev < s <= stamp]
+        imu_buf = [e for e in imu_buf if e[0] > stamp]
+        m = min(len(rel), imu_cap)
+        ts = np.asarray([r[0] for r in rel[:m]], np.float32)
+        gy = np.asarray([r[1] for r in rel[:m]], np.float32).reshape(m, 3)
+        ac = np.asarray([r[2] for r in rel[:m]], np.float32).reshape(m, 3)
+        imu = ImuBatch(
+            stamps=jnp.asarray(np.pad(ts, (0, imu_cap - m), constant_values=1e9)),
+            gyro=jnp.asarray(np.pad(gy, ((0, imu_cap - m), (0, 0)))),
+            acc=jnp.asarray(np.pad(ac, ((0, imu_cap - m), (0, 0)))),
+            mask=jnp.asarray(np.arange(imu_cap) < m),
+        )
+        n = min(len(xyz), cap)
+        pad = cap - n
+        scan = Scan(
+            xyz=jnp.asarray(np.pad(xyz[:n], ((0, pad), (0, 0)),
+                                   constant_values=1e6)),
+            t_offset=jnp.asarray(np.pad(toff[:n], (0, pad))),
+            mask=jnp.asarray(np.arange(cap) < n),
+        )
+        fixes, gps_buf = gps_buf, []
+        engine.process(scan, imu, stamp, stamp - t_prev, gps=fixes)
+        t_prev = stamp
+        n_scans += 1
+        if n_scans % 100 == 0:
+            print(f"  scan {n_scans}")
+    print(f"bag [{args.preset}]: {n_scans} scans")
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument(
         "--dataset",
-        choices=["kitti", "generic", "sim", "mulran", "newer-college"],
+        choices=["kitti", "generic", "sim", "mulran", "newer-college", "bag"],
         default="sim",
+    )
+    from fastliosam_tpu.io.presets import PRESETS
+
+    ap.add_argument(
+        "--preset",
+        default="ouster",
+        choices=sorted(PRESETS),
+        help="sensor preset for --dataset bag (run.launch lidar:= values)",
     )
     ap.add_argument("--gt-csv", default=None)
     ap.add_argument("--root", default=None)
@@ -317,6 +396,8 @@ def main():
         run_mulran(args, engine)
     elif args.dataset == "newer-college":
         run_newer_college(args, engine)
+    elif args.dataset == "bag":
+        run_bag(args, engine)
     else:
         run_generic(args, engine)
 

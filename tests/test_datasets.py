@@ -102,3 +102,60 @@ def test_newer_college_reader(tmp_path, rng):
     assert xyz.shape == (200, 3)
     assert seq.gt["poses"].shape == (2, 4, 4)
     np.testing.assert_allclose(seq.gt["poses"][1][:3, 3], [1, 0, 0])
+
+
+def test_bag_sequence_presets(tmp_path, rng):
+    """BagSequence streams scans/imu/gps through a SensorPreset (the
+    run.launch `lidar:=` selection, run.launch:20-46)."""
+    from fastliosam_tpu.io.presets import PRESETS, BagSequence
+    from fastliosam_tpu.io.rosbag import encode_navsatfix
+
+    pre = PRESETS["vbr-colosseo"]
+    # ouster-style cloud: per-point "t" field in nanoseconds
+    n = 150
+    cloud = np.zeros(
+        n, dtype=[("x", "<f4"), ("y", "<f4"), ("z", "<f4"),
+                  ("intensity", "<f4"), ("t", "<u4")]
+    )
+    cloud["x"] = rng.normal(size=n)
+    cloud["y"] = rng.normal(size=n)
+    cloud["z"] = rng.normal(size=n)
+    cloud["t"] = (np.linspace(0, 0.1, n) * 1e9).astype(np.uint32)
+    bag = str(tmp_path / "vbr.bag")
+    with BagWriter(bag) as w:
+        for k in range(2):
+            t = 500.0 + 0.1 * k
+            w.write(pre.lid_topic, "sensor_msgs/PointCloud2", t,
+                    encode_pointcloud2(cloud, t))
+            for j in range(4):
+                ti = t + 0.025 * j
+                w.write(pre.imu_topic, "sensor_msgs/Imu", ti,
+                        encode_imu(ti, [0, 0, 0.05], [0, 0, 9.81]))
+        w.write(pre.gps_topic, "sensor_msgs/NavSatFix", 500.05,
+                encode_navsatfix(500.05, 22.3, 114.2, 5.0))
+    events = list(BagSequence(bag, pre).stream())
+    kinds = [e[0] for e in events]
+    assert kinds.count("scan") == 2
+    assert kinds.count("imu") == 8
+    assert kinds.count("gps") == 1
+    _, stamp, (xyz, inten, toff) = [e for e in events if e[0] == "scan"][0]
+    assert xyz.shape == (n, 3)
+    # timestamp_unit=3 (ns) scaling applied, sweep-relative
+    assert toff.min() == 0.0 and abs(toff.max() - 0.1) < 1e-3
+    _, _, (lat, lon, alt, cov, status) = [e for e in events if e[0] == "gps"][0]
+    assert abs(lat - 22.3) < 1e-9 and status == 0
+
+
+def test_preset_odom_kwargs():
+    """Preset parameter surface matches the reference launch contract."""
+    from fastliosam_tpu.io.presets import PRESETS, odom_config_kwargs
+    from fastliosam_tpu.odom import OdomConfig
+
+    for name, pre in PRESETS.items():
+        cfg = OdomConfig(**odom_config_kwargs(pre))
+        assert cfg.max_iteration == 3  # all reference launches use 3
+        R = np.asarray(cfg.ext_R())
+        # extrinsic rotations are valid rotation matrices
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-4)
+    assert PRESETS["mulran"].point_filter_num == 3  # mulran.launch
+    assert PRESETS["kimera-multi"].filter_size_surf == 0.2  # kimera launch
