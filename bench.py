@@ -129,6 +129,10 @@ def bench_odometry(data):
         num_ds_points=8192,
         det_range=150.0,
         evict_every=10_000,
+        # dense HDL-64-like feed: the adaptive 3-voxel pool is faster AND
+        # more accurate than the 7-stencil here (measured: 95 vs 81 scans/s,
+        # ATE 0.19 vs 0.22); sparse feeds should keep the "merged" default
+        query_mode="merged3",
     )
     xyz, toff, mask = pad_scans(data)
     S = xyz.shape[0]

@@ -6,6 +6,7 @@ from .voxel_hash import (  # noqa: F401
     query_planes,
     query_planes_merged,
     query_planes_merged2,
+    query_planes_merged3,
     evict_far,
     occupied_centroids,
 )

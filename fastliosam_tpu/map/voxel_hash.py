@@ -60,7 +60,10 @@ def _mix32(h):
 class VoxelMapConfig(NamedTuple):
     capacity: int = 1 << 20  # hash slots (power of two, keep load < 0.25)
     voxel_size: float = 0.5  # FAST-LIO ``filter_size_map`` analog
-    insert_probes: int = 8  # match-scan window during insert
+    # probe windows: claims only ever land at offsets < claim_probes, so the
+    # insert match-scan and query windows need exactly claim_probes rounds —
+    # larger windows buy nothing but gather traffic
+    insert_probes: int = 4  # match-scan window during insert
     claim_probes: int = 4  # claim rounds for new voxels (collision retries)
     query_probes: int = 4  # probe rounds during query
     min_points: int = 5  # NUM_MATCH_POINTS analog for a valid plane
@@ -348,15 +351,71 @@ def query_planes_merged2(m: VoxelMap, cfg: VoxelMapConfig, xyz, mask):
     # dominant offset axis decides the neighbor
     off = xyz - c0  # in [-vs/2, vs/2]
     ax = jnp.argmax(jnp.abs(off), axis=-1)
-    step = jnp.sign(
-        jnp.take_along_axis(off, ax[:, None], axis=-1)[:, 0]
-    ).astype(jnp.int32)
-    nb = coords0.at[jnp.arange(n), ax].add(step)
+    # scatter-free neighbor step: one-hot select of the dominant axis
+    onehot = (jnp.arange(3)[None, :] == ax[:, None]).astype(jnp.int32)
+    step = jnp.sign(jnp.sum(off * onehot, axis=-1)).astype(jnp.int32)
+    nb = coords0 + step[:, None] * onehot
 
     tot_c = jnp.zeros((n,), jnp.float32)
     tot_s = jnp.zeros((n, 3), jnp.float32)
     tot_o = jnp.zeros((n, 3, 3), jnp.float32)
     for coords in (coords0, nb):
+        slots, found = _find_slots(m, cfg, coords, mask)
+        sl = jnp.clip(slots, 0, cfg.capacity - 1)
+        w = found.astype(jnp.float32)
+        ci = m.count[sl] * w
+        si = m.psum[sl] * w[:, None]
+        oi = _unpack_sym(m.pouter[sl]) * w[:, None, None]
+        dc = _voxel_center(coords, cfg.voxel_size) - c0
+        tot_c = tot_c + ci
+        tot_s = tot_s + si + ci[:, None] * dc
+        cross = si[:, :, None] * dc[:, None, :]
+        tot_o = (
+            tot_o
+            + oi
+            + cross
+            + jnp.swapaxes(cross, -1, -2)
+            + ci[:, None, None] * (dc[:, :, None] * dc[:, None, :])
+        )
+
+    safe_c = jnp.maximum(tot_c, 1.0)
+    mean = tot_s / safe_c[:, None]
+    cov = tot_o / safe_c[:, None, None] - mean[:, :, None] * mean[:, None, :]
+    normal, lam = smallest_eigvec3(cov)
+    mean_world = c0 + mean
+    d = -jnp.sum(normal * mean_world, axis=-1)
+    valid = mask & (tot_c >= cfg.min_points) & (lam[..., 0] < cfg.plane_var_thresh)
+    return normal, d, valid
+
+
+def query_planes_merged3(m: VoxelMap, cfg: VoxelMapConfig, xyz, mask):
+    """Plane fit from the query's own voxel merged with its two dominant
+    face neighbors (one per largest in-voxel offset axis).
+
+    Middle ground between :func:`query_planes_merged2` (2 voxels) and the
+    full 7-stencil :func:`query_planes_merged`: captures edge-straddling
+    (two-axis) boundary cases at 3/7 of the gather traffic.
+    """
+    coords0 = _voxel_coords(xyz, cfg.voxel_size)
+    n = xyz.shape[0]
+    c0 = _voxel_center(coords0, cfg.voxel_size)
+    off = xyz - c0  # in [-vs/2, vs/2]
+    aoff = jnp.abs(off)
+    ax1 = jnp.argmax(aoff, axis=-1)
+    # scatter-free one-hot selects (device scatters by point index compile
+    # and run far worse than elementwise selects, especially on CPU)
+    oh1 = (jnp.arange(3)[None, :] == ax1[:, None]).astype(jnp.float32)
+    # second-largest axis: mask out the winner and argmax again
+    ax2 = jnp.argmax(aoff * (1.0 - oh1) - oh1, axis=-1)
+    oh2 = (jnp.arange(3)[None, :] == ax2[:, None]).astype(jnp.float32)
+    sgn = jnp.sign(off)
+    nb1 = coords0 + (sgn * oh1).astype(jnp.int32)
+    nb2 = coords0 + (sgn * oh2).astype(jnp.int32)
+
+    tot_c = jnp.zeros((n,), jnp.float32)
+    tot_s = jnp.zeros((n, 3), jnp.float32)
+    tot_o = jnp.zeros((n, 3, 3), jnp.float32)
+    for coords in (coords0, nb1, nb2):
         slots, found = _find_slots(m, cfg, coords, mask)
         sl = jnp.clip(slots, 0, cfg.capacity - 1)
         w = found.astype(jnp.float32)

@@ -30,6 +30,8 @@ def _query_planes(x, pts_body, mask, vmap, map_cfg, cfg: OdomConfig):
         return vh.query_planes_merged(vmap, map_cfg, pw, mask)
     if cfg.query_mode == "merged2":
         return vh.query_planes_merged2(vmap, map_cfg, pw, mask)
+    if cfg.query_mode == "merged3":
+        return vh.query_planes_merged3(vmap, map_cfg, pw, mask)
     return vh.query_planes(vmap, map_cfg, pw, mask)
 
 

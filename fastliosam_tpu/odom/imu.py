@@ -30,13 +30,7 @@ class ImuBatch(NamedTuple):
     mask: jnp.ndarray  # (M,)
 
 
-def propagate(x: NavState, imu: ImuBatch, cfg: OdomConfig, scan_dt):
-    """Propagate state+covariance through the IMU batch up to ``scan_dt``.
-
-    Returns ``(state_at_scan_end, traj)`` where ``traj`` holds the
-    intermediate states at each IMU stamp for deskewing:
-    ``(R (M,3,3), p (M,3), v (M,3), w (M,3), a_w (M,3), t (M,))``.
-    """
+def _interval_dts(imu: ImuBatch, scan_dt):
     # integration interval for sample i: [t_i, t_{i+1}); the last *valid*
     # sample integrates up to scan_dt (padded lanes contribute dt = 0)
     next_valid = jnp.concatenate([imu.mask[1:], jnp.zeros((1,), bool)])
@@ -44,9 +38,92 @@ def propagate(x: NavState, imu: ImuBatch, cfg: OdomConfig, scan_dt):
         [imu.stamps[1:], jnp.zeros((1,), imu.stamps.dtype)]
     )
     t_next = jnp.where(next_valid, t_next, scan_dt)
-    dts = jnp.where(
-        imu.mask, jnp.clip(t_next - imu.stamps, 0.0, 1.0), 0.0
+    return jnp.where(imu.mask, jnp.clip(t_next - imu.stamps, 0.0, 1.0), 0.0)
+
+
+def propagate(x: NavState, imu: ImuBatch, cfg: OdomConfig, scan_dt):
+    """Propagate state+covariance through the IMU batch up to ``scan_dt``.
+
+    Returns ``(state_at_scan_end, traj)`` where ``traj`` holds the
+    intermediate states at each IMU stamp for deskewing:
+    ``(R (M,3,3), p (M,3), v (M,3), w (M,3), a_w (M,3), t (M,))``.
+
+    Parallel-prefix formulation: a per-scan IMU batch is a short (≤32)
+    strictly sequential recursion, which on TPU is latency-bound, not
+    FLOP-bound. Rotations compose as an ``associative_scan`` of 3x3
+    products, velocity/position as cumulative sums, and the covariance
+    recursion ``P ← F P Fᵀ + Q`` as an associative scan over transition
+    pairs ``(F, Q)`` — log₂(M) depth instead of M dependent steps.
+    Matches :func:`propagate_sequential` (tested) because the per-step
+    model is identical; only the evaluation order changes.
+    """
+    dts = _interval_dts(imu, scan_dt)
+    M = dts.shape[0]
+
+    w = imu.gyro - x.bg  # (M, 3) bias-corrected rates
+    a = imu.acc - x.ba  # (M, 3) specific force
+    dR = so3.exp(w * dts[:, None])  # (M, 3, 3) per-interval increments
+
+    # attitude: inclusive prefix products dR_0 … dR_k, then the exclusive
+    # prefix R_k = R0 · Π_{i<k} dR_i (state at the START of interval k,
+    # matching the sequential scan's recorded trajectory)
+    Mprod = jax.lax.associative_scan(jnp.matmul, dR)
+    R_incl = x.R[None] @ Mprod  # (M, 3, 3)
+    R_excl = jnp.concatenate([x.R[None], R_incl[:-1]], axis=0)
+
+    a_w = jnp.einsum("mij,mj->mi", R_excl, a) + x.g  # world accel per interval
+    dv = a_w * dts[:, None]
+    v_incl = x.v[None] + jnp.cumsum(dv, axis=0)
+    v_excl = jnp.concatenate([x.v[None], v_incl[:-1]], axis=0)
+    dp = v_excl * dts[:, None] + 0.5 * a_w * dts[:, None] ** 2
+    p_incl = x.p[None] + jnp.cumsum(dp, axis=0)
+    p_excl = jnp.concatenate([x.p[None], p_incl[:-1]], axis=0)
+
+    # covariance: batched F_k/Q_k then associative composition
+    #   (F2,Q2)∘(F1,Q1) = (F2 F1, F2 Q1 F2ᵀ + Q2)
+    eye3 = jnp.eye(3, dtype=jnp.float32)
+    F = jnp.broadcast_to(jnp.eye(24, dtype=jnp.float32), (M, 24, 24))
+    dt3 = dts[:, None, None]
+    F = F.at[:, 0:3, 0:3].set(jnp.swapaxes(dR, -1, -2))
+    F = F.at[:, 0:3, 9:12].set(-eye3 * dt3)
+    F = F.at[:, 3:6, 6:9].set(eye3 * dt3)
+    F = F.at[:, 6:9, 0:3].set(
+        -jnp.einsum("mij,mjk->mik", R_excl, so3.hat(a)) * dt3
     )
+    F = F.at[:, 6:9, 12:15].set(-R_excl * dt3)
+    F = F.at[:, 6:9, 15:18].set(eye3 * dt3)
+    Q = jnp.zeros((M, 24, 24), jnp.float32)
+    dt2 = (dts * dts)[:, None, None]
+    Q = Q.at[:, 0:3, 0:3].set(eye3 * cfg.gyr_cov * dt2)
+    Q = Q.at[:, 6:9, 6:9].set(eye3 * cfg.acc_cov * dt2)
+    Q = Q.at[:, 9:12, 9:12].set(eye3 * cfg.b_gyr_cov * dt2)
+    Q = Q.at[:, 12:15, 12:15].set(eye3 * cfg.b_acc_cov * dt2)
+
+    def compose(left, right):
+        Fa, Qa = left
+        Fb, Qb = right
+        return Fb @ Fa, Fb @ Qa @ jnp.swapaxes(Fb, -1, -2) + Qb
+
+    F_tot, Q_tot = jax.tree.map(
+        lambda t: t[-1], jax.lax.associative_scan(compose, (F, Q))
+    )
+    P_e = F_tot @ x.P @ F_tot.T + Q_tot
+
+    x_end = x._replace(
+        R=so3.normalize_matrix(R_incl[-1]),
+        p=p_incl[-1],
+        v=v_incl[-1],
+        P=P_e,
+    )
+    traj = (R_excl, p_excl, v_excl, w, a_w, imu.stamps)
+    return x_end, traj
+
+
+def propagate_sequential(x: NavState, imu: ImuBatch, cfg: OdomConfig, scan_dt):
+    """Reference sequential `lax.scan` propagation — the textbook recursion
+    the parallel-prefix :func:`propagate` must reproduce (kept for
+    equivalence testing)."""
+    dts = _interval_dts(imu, scan_dt)
 
     def step(carry, inp):
         R, p, v, P = carry

@@ -108,6 +108,18 @@ def fix_overexposure(image: np.ndarray, v_thresh=235, strength=0.6) -> np.ndarra
     return cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2BGR)
 
 
+def tonemap_hdr(image: np.ndarray, gamma=2.2, saturation=1.0,
+                bias=0.85) -> np.ndarray:
+    """Simulated-HDR local tone mapping (`exposure_adaption/use_hdr.py`
+    capability): Drago tonemap over the 8-bit input, back to 8-bit."""
+    _require_cv2()
+    img = image.astype(np.float32) / 255.0
+    tm = cv2.createTonemapDrago(gamma=gamma, saturation=saturation, bias=bias)
+    out = tm.process(img)
+    out = np.nan_to_num(out, nan=0.0, posinf=1.0, neginf=0.0)
+    return np.clip(out * 255.0, 0, 255).astype(np.uint8)
+
+
 def colorize_cloud(
     pts_world: np.ndarray,
     image: np.ndarray,

@@ -47,6 +47,7 @@ def build_engine(args):
             num_ds_points=args.num_ds_points,
             det_range=args.det_range,
             max_iteration=args.max_iteration,
+            query_mode=args.query_mode,
         )
         filter_size_map = args.filter_size_map
 
@@ -377,6 +378,13 @@ def main():
     ap.add_argument("--filter-size-surf", type=float, default=0.5)
     ap.add_argument("--filter-size-map", type=float, default=0.5)
     ap.add_argument("--max-iteration", type=int, default=3)
+    ap.add_argument(
+        "--query-mode",
+        choices=["merged", "merged2", "merged3", "cached"],
+        default="merged",
+        help="plane association: merged=7-voxel stencil (robust), "
+        "merged3=adaptive 3-voxel (faster on dense scans)",
+    )
     ap.add_argument("--det-range", type=float, default=300.0)
     ap.add_argument("--num-ds-points", type=int, default=8192)
     ap.add_argument("--map-capacity-log2", type=int, default=19)

@@ -55,6 +55,12 @@ def test_exposure_pipeline(rng):
     assert ok
     dec = decode_compressed(enc.tobytes())
     assert dec.shape == normal.shape
+    # HDR local tone mapping (use_hdr.py capability)
+    from fastliosam_tpu.postprocess.images import tonemap_hdr
+
+    hdr = tonemap_hdr(normal)
+    assert hdr.shape == normal.shape and hdr.dtype == np.uint8
+    assert hdr.std() > 0  # nontrivial output
 
 
 def test_colorize_and_cluster_projection(rng):

@@ -304,3 +304,43 @@ def test_extrinsic_estimation_converges():
     np.testing.assert_allclose(
         np.asarray(state2.nav.t_ext), wrong_t.astype(np.float32), atol=1e-5
     )
+
+
+def test_propagate_parallel_matches_sequential(rng):
+    """The parallel-prefix propagate must reproduce the sequential scan."""
+    from fastliosam_tpu.odom.imu import ImuBatch, propagate, propagate_sequential
+    from fastliosam_tpu.odom.state import OdomConfig, init_state
+
+    import jax.numpy as jnp
+
+    cfg = OdomConfig()
+    x = init_state(cfg=cfg)
+    x = x._replace(
+        v=jnp.asarray([1.0, -0.5, 0.2]),
+        bg=jnp.asarray([0.01, -0.02, 0.005]),
+        ba=jnp.asarray([0.05, 0.02, -0.1]),
+        P=jnp.asarray(
+            np.diag(rng.uniform(1e-4, 1e-2, 24)).astype(np.float32)
+        ),
+    )
+    M = 32
+    n_valid = 27
+    stamps = np.sort(rng.uniform(0, 0.095, M)).astype(np.float32)
+    stamps[n_valid:] = 1e9
+    imu = ImuBatch(
+        stamps=jnp.asarray(stamps),
+        gyro=jnp.asarray(rng.normal(size=(M, 3)).astype(np.float32) * 0.3),
+        acc=jnp.asarray(
+            (rng.normal(size=(M, 3)) * 0.5 + [0, 0, 9.81]).astype(np.float32)
+        ),
+        mask=jnp.asarray(np.arange(M) < n_valid),
+    )
+    xs, trs = propagate_sequential(x, imu, cfg, 0.1)
+    xp, trp = propagate(x, imu, cfg, 0.1)
+    np.testing.assert_allclose(np.asarray(xp.R), np.asarray(xs.R), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(xp.p), np.asarray(xs.p), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(xp.v), np.asarray(xs.v), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(xp.P), np.asarray(xs.P),
+                               rtol=1e-3, atol=1e-6)
+    for a, b in zip(trp[:5], trs[:5]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)

@@ -154,3 +154,25 @@ def test_merged2_query_matches_plane(rng):
     assert valid.mean() > 0.85
     res = np.abs(np.sum(normal[valid] * qpts[valid], axis=1) + d[valid])
     assert np.median(res) < 0.05
+
+
+def test_merged3_query_matches_plane(rng):
+    from fastliosam_tpu.map import query_planes_merged3
+
+    pts = plane_points(rng, 4000, [0.3, -0.2, 1.0], 0.5, noise=0.005)
+    m = make_map(CFG)
+    m, _ = insert(m, CFG, jnp.asarray(pts), jnp.ones((4000,), bool))
+    qpts = plane_points(rng, 64, [0.3, -0.2, 1.0], 0.5)
+    normal, d, valid = query_planes_merged3(
+        m, CFG, jnp.asarray(qpts), jnp.ones((64,), bool)
+    )
+    normal, d, valid = map(np.asarray, (normal, d, valid))
+    assert valid.mean() > 0.85
+    res = np.abs(np.sum(normal[valid] * qpts[valid], axis=1) + d[valid])
+    assert np.median(res) < 0.05
+    # the two chosen neighbors differ per point and never equal the center
+    # (covered implicitly by the residual check; also sanity: masked query)
+    n2, d2, v2 = query_planes_merged3(
+        m, CFG, jnp.asarray(qpts), jnp.zeros((64,), bool)
+    )
+    assert not np.asarray(v2).any()
