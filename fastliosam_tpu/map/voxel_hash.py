@@ -72,13 +72,16 @@ class VoxelMapConfig(NamedTuple):
 
 
 class VoxelMap(NamedTuple):
-    """SoA hash table. All arrays have leading dim = capacity."""
+    """SoA hash table. All arrays have leading dim = capacity.
+
+    Moment statistics live in ONE fused ``(C, 10)`` array —
+    ``[count, Σ(p-c) (3), Σ outer (6)]`` — so the query/insert hot paths
+    pay a single gather/scatter per slot instead of three (HBM gather
+    traffic is the dominant cost of the plane-association kernels)."""
 
     fp: jnp.ndarray  # (C,) int32 fingerprint; 0 = empty, else odd
     coords: jnp.ndarray  # (C, 3) int32 voxel integer coords (0 when empty)
-    count: jnp.ndarray  # (C,) float32 number of accumulated points
-    psum: jnp.ndarray  # (C, 3) float32 sum of (p - center)
-    pouter: jnp.ndarray  # (C, 6) float32 sum of outer (xx,xy,xz,yy,yz,zz)
+    moments: jnp.ndarray  # (C, 10) float32 [count, psum(3), pouter(6)]
     normal: jnp.ndarray  # (C, 3) float32 cached plane normal
     d: jnp.ndarray  # (C,) float32 cached plane offset: n·x + d = 0
     plane_valid: jnp.ndarray  # (C,) int32 0/1
@@ -87,6 +90,19 @@ class VoxelMap(NamedTuple):
     def occupied(self):
         return (self.fp != 0).astype(jnp.int32)
 
+    # convenience views (not hot-path: hot code gathers `moments` directly)
+    @property
+    def count(self):
+        return self.moments[:, 0]
+
+    @property
+    def psum(self):
+        return self.moments[:, 1:4]
+
+    @property
+    def pouter(self):
+        return self.moments[:, 4:10]
+
 
 def make_map(cfg: VoxelMapConfig) -> VoxelMap:
     c = cfg.capacity
@@ -94,9 +110,7 @@ def make_map(cfg: VoxelMapConfig) -> VoxelMap:
     return VoxelMap(
         fp=jnp.zeros((c,), jnp.int32),
         coords=jnp.zeros((c, 3), jnp.int32),
-        count=jnp.zeros((c,), jnp.float32),
-        psum=jnp.zeros((c, 3), jnp.float32),
-        pouter=jnp.zeros((c, 6), jnp.float32),
+        moments=jnp.zeros((c, 10), jnp.float32),
         normal=jnp.zeros((c, 3), jnp.float32),
         d=jnp.zeros((c,), jnp.float32),
         plane_valid=jnp.zeros((c,), jnp.int32),
@@ -228,17 +242,16 @@ def insert(m: VoxelMap, cfg: VoxelMapConfig, xyz, mask, refresh_planes=True):
 
     # moment saturation: stop accumulating once a voxel is very full so
     # float32 sums stay accurate and stale geometry can't dominate forever
-    room = m.count[jnp.clip(sl, 0, cap - 1)] < cfg.max_points_per_voxel
+    room = m.moments[jnp.clip(sl, 0, cap - 1), 0] < cfg.max_points_per_voxel
     w = (assigned & room).astype(jnp.float32)
 
     rel = xyz - _voxel_center(coords, cfg.voxel_size)
-    count = m.count.at[sl].add(w, mode="drop")
-    psum = m.psum.at[sl].add(rel * w[:, None], mode="drop")
-    pouter = m.pouter.at[sl].add(_outer6(rel) * w[:, None], mode="drop")
+    upd = jnp.concatenate(
+        [jnp.ones_like(w)[:, None], rel, _outer6(rel)], axis=-1
+    ) * w[:, None]  # (N, 10) fused moment update, one scatter
+    moments = m.moments.at[sl].add(upd, mode="drop")
 
-    m = m._replace(
-        fp=fp, coords=coords_tbl, count=count, psum=psum, pouter=pouter
-    )
+    m = m._replace(fp=fp, coords=coords_tbl, moments=moments)
 
     if refresh_planes:
         # refresh cached planes for touched slots (duplicates write
@@ -255,10 +268,11 @@ def insert(m: VoxelMap, cfg: VoxelMapConfig, xyz, mask, refresh_planes=True):
 def _fit_planes(m: VoxelMap, cfg: VoxelMapConfig, slots):
     """Fit planes from the moments stored at ``slots`` (clipped gather)."""
     sl = jnp.clip(slots, 0, cfg.capacity - 1)
-    c = m.count[sl]
+    mom = m.moments[sl]  # one fused gather
+    c = mom[:, 0]
     safe_c = jnp.maximum(c, 1.0)
-    mean_rel = m.psum[sl] / safe_c[:, None]
-    cov = _unpack_sym(m.pouter[sl]) / safe_c[:, None, None] - (
+    mean_rel = mom[:, 1:4] / safe_c[:, None]
+    cov = _unpack_sym(mom[:, 4:10]) / safe_c[:, None, None] - (
         mean_rel[:, :, None] * mean_rel[:, None, :]
     )
     normal, lam = smallest_eigvec3(cov)
@@ -310,10 +324,10 @@ def query_planes_merged(m: VoxelMap, cfg: VoxelMapConfig, xyz, mask):
         coords = coords0 + _STENCIL7[k]
         slots, found = _find_slots(m, cfg, coords, mask)
         sl = jnp.clip(slots, 0, cfg.capacity - 1)
-        w = found.astype(jnp.float32)
-        ci = m.count[sl] * w
-        si = m.psum[sl] * w[:, None]
-        oi = _unpack_sym(m.pouter[sl]) * w[:, None, None]
+        mom = m.moments[sl] * found.astype(jnp.float32)[:, None]  # 1 gather
+        ci = mom[:, 0]
+        si = mom[:, 1:4]
+        oi = _unpack_sym(mom[:, 4:10])
         # shift moments from neighbor center c_i to the query voxel center c0
         dc = _voxel_center(coords, cfg.voxel_size) - c0
         tot_c = tot_c + ci
@@ -362,10 +376,10 @@ def query_planes_merged2(m: VoxelMap, cfg: VoxelMapConfig, xyz, mask):
     for coords in (coords0, nb):
         slots, found = _find_slots(m, cfg, coords, mask)
         sl = jnp.clip(slots, 0, cfg.capacity - 1)
-        w = found.astype(jnp.float32)
-        ci = m.count[sl] * w
-        si = m.psum[sl] * w[:, None]
-        oi = _unpack_sym(m.pouter[sl]) * w[:, None, None]
+        mom = m.moments[sl] * found.astype(jnp.float32)[:, None]  # 1 gather
+        ci = mom[:, 0]
+        si = mom[:, 1:4]
+        oi = _unpack_sym(mom[:, 4:10])
         dc = _voxel_center(coords, cfg.voxel_size) - c0
         tot_c = tot_c + ci
         tot_s = tot_s + si + ci[:, None] * dc
@@ -418,10 +432,10 @@ def query_planes_merged3(m: VoxelMap, cfg: VoxelMapConfig, xyz, mask):
     for coords in (coords0, nb1, nb2):
         slots, found = _find_slots(m, cfg, coords, mask)
         sl = jnp.clip(slots, 0, cfg.capacity - 1)
-        w = found.astype(jnp.float32)
-        ci = m.count[sl] * w
-        si = m.psum[sl] * w[:, None]
-        oi = _unpack_sym(m.pouter[sl]) * w[:, None, None]
+        mom = m.moments[sl] * found.astype(jnp.float32)[:, None]  # 1 gather
+        ci = mom[:, 0]
+        si = mom[:, 1:4]
+        oi = _unpack_sym(mom[:, 4:10])
         dc = _voxel_center(coords, cfg.voxel_size) - c0
         tot_c = tot_c + ci
         tot_s = tot_s + si + ci[:, None] * dc
@@ -455,9 +469,7 @@ def evict_far(m: VoxelMap, cfg: VoxelMapConfig, center_xyz, det_range):
     return m._replace(
         fp=m.fp * keepi,
         coords=m.coords * keepi[:, None],
-        count=m.count * keepf,
-        psum=m.psum * keepf[:, None],
-        pouter=m.pouter * keepf[:, None],
+        moments=m.moments * keepf[:, None],
         normal=m.normal * keepf[:, None],
         d=m.d * keepf,
         plane_valid=m.plane_valid * keepi,
