@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from ..core import se3
 from ..core.pointcloud import Cloud, voxel_downsample
 from .icp import icp_align
+from ..utils.precision import geometry_precision
 
 
 class LoopConfig(NamedTuple):
@@ -59,6 +60,7 @@ def build_submap(
     return ds.xyz[:budget], ds.mask[:budget]
 
 
+@geometry_precision
 def verify_loop(
     kf_clouds,
     kf_cloud_masks,

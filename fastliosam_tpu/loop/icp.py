@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import se3, so3
+from ..utils.precision import geometry_precision
 
 _BIG = 1.0e12
 
@@ -95,6 +96,7 @@ def _horn_quat(P, Q, w):
     return R, t
 
 
+@geometry_precision
 def icp_align(
     src,
     src_mask,

@@ -18,6 +18,7 @@ from ..map import voxel_hash as vh
 from .iekf import iekf_update
 from .imu import ImuBatch, deskew, propagate
 from .state import GRAVITY, NavState, OdomConfig, init_state
+from ..utils.precision import geometry_precision
 
 
 class Scan(NamedTuple):
@@ -67,6 +68,7 @@ def _preprocess(scan: Scan, cfg: OdomConfig) -> Scan:
     return scan._replace(mask=mask)
 
 
+@geometry_precision
 def odom_step(
     state: OdomState,
     scan: Scan,
@@ -179,6 +181,7 @@ def odom_step(
     return new_state, aux
 
 
+@geometry_precision
 def odom_rollout(
     state: OdomState,
     scans: Scan,  # stacked: xyz (S, N, 3), t_offset (S, N), mask (S, N)

@@ -22,6 +22,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..core import se3
 from ..pgo.graph import PoseGraph, PoseGraphConfig
 from ..pgo.solver import _between_residuals, _gps_residuals, _prior_residual
+from ..utils.precision import geometry_precision
 
 _EPS = 1e-12
 
@@ -35,6 +36,7 @@ def _pad_to_multiple(x, m, fill=0):
     return jnp.concatenate([x, pad_block], axis=0)
 
 
+@geometry_precision
 def solve_sharded(g: PoseGraph, cfg: PoseGraphConfig, mesh: Mesh, axis: str = "kf"):
     """LM solve with factor arrays sharded along ``axis``. API-compatible
     with :func:`fastliosam_tpu.pgo.solve` (returns graph, cost)."""

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from ..core import se3, so3
 from .graph import PoseGraph, PoseGraphConfig
+from ..utils.precision import geometry_precision
 
 _EPS = 1e-12
 
@@ -207,6 +208,7 @@ def _pcg(matvec, b, Hd, lam, iters):
     return x
 
 
+@geometry_precision
 def solve(g: PoseGraph, cfg: PoseGraphConfig, prior_pose=None):
     """Run the LM loop; returns the graph with optimized poses.
 

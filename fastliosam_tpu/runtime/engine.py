@@ -173,6 +173,9 @@ class SlamEngine:
             ),
             device=verify_device,
         )
+        from ..utils.precision import geometry_precision
+
+        @geometry_precision
         def _commit_keyframe(
             graph, kf_clouds, kf_masks, kf_raw_poses, kf_stamps,
             k, cloud_world, cloud_mask, raw_T, corrected_T, prev_raw_T, stamp,

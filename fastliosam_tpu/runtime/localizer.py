@@ -69,6 +69,9 @@ class MapLocalizer:
         self.nav: NavState = init_state(cfg=odom_cfg)
         self.initialized = False
 
+        from ..utils.precision import geometry_precision
+
+        @geometry_precision
         def _step(nav, vmap, scan, imu, dt):
             d2 = jnp.sum(scan.xyz * scan.xyz, axis=-1)
             mask = scan.mask & (d2 > odom_cfg.blind**2) & (
