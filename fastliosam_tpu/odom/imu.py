@@ -99,14 +99,34 @@ def propagate(x: NavState, imu: ImuBatch, cfg: OdomConfig, scan_dt):
     Q = Q.at[:, 9:12, 9:12].set(eye3 * cfg.b_gyr_cov * dt2)
     Q = Q.at[:, 12:15, 12:15].set(eye3 * cfg.b_acc_cov * dt2)
 
+    # only the FINAL (F_tot, Q_tot) is needed (intermediate covariances are
+    # never read), so a log-depth pairwise tree reduction does half the work
+    # of a full associative prefix scan. These 24x24 compositions run at
+    # default matmul precision even under the geometry-precision policy:
+    # covariance products tolerate bf16 (process noise dominates), and the
+    # 3-pass f32 mode doubled the propagate latency for nothing.
     def compose(left, right):
         Fa, Qa = left
         Fb, Qb = right
-        return Fb @ Fa, Fb @ Qa @ jnp.swapaxes(Fb, -1, -2) + Qb
+        FbT = jnp.swapaxes(Fb, -1, -2)
+        mm = lambda a, b: jnp.matmul(a, b, precision="default")
+        return mm(Fb, Fa), mm(mm(Fb, Qa), FbT) + Qb
 
-    F_tot, Q_tot = jax.tree.map(
-        lambda t: t[-1], jax.lax.associative_scan(compose, (F, Q))
-    )
+    Mp = M
+    Fr, Qr = F, Q
+    while Mp > 1:
+        if Mp % 2:  # pad with the identity element (F=I, Q=0)
+            Fr = jnp.concatenate(
+                [Fr, jnp.eye(24, dtype=jnp.float32)[None]], axis=0
+            )
+            Qr = jnp.concatenate(
+                [Qr, jnp.zeros((1, 24, 24), jnp.float32)], axis=0
+            )
+            Mp += 1
+        # element 2k happens first, 2k+1 second: right ∘ left
+        Fr, Qr = compose((Fr[0::2], Qr[0::2]), (Fr[1::2], Qr[1::2]))
+        Mp //= 2
+    F_tot, Q_tot = Fr[0], Qr[0]
     P_e = F_tot @ x.P @ F_tot.T + Q_tot
 
     x_end = x._replace(
