@@ -84,6 +84,36 @@ PRESETS: dict[str, SensorPreset] = {
         ),
         filter_size_surf=0.2, filter_size_map=0.2,
     ),
+    # run.launch:38-43 selects per-robot kimera-multi variants
+    # (kimera-multi-acl_jackal2 / kimera-multi-apis); only the acl_jackal2
+    # yaml is vendored (fastlio_config_launch/kimera-multi.yaml), so the
+    # apis variant reuses those calibration params with the robot's topics.
+    "kimera-multi-acl_jackal2": SensorPreset(
+        lid_topic="/acl_jackal2/lidar_points",
+        imu_topic="/acl_jackal2/forward/imu",
+        lidar_type=2, timestamp_unit=2, blind=0.3, det_range=100.0,
+        acc_cov=0.1, gyr_cov=0.1, b_acc_cov=0.01, b_gyr_cov=0.005,
+        extrinsic_T=(0.07025405, -0.10158666, -0.04942693),
+        extrinsic_R=(
+            -2.9046527369e-02, -9.9957706196e-01, -1.7154151723e-03,
+            -6.9278006858e-02, 3.7251435690e-03, -9.9759064383e-01,
+            9.9717458733e-01, -2.8857692625e-02, -6.9356874944e-02,
+        ),
+        filter_size_surf=0.2, filter_size_map=0.2,
+    ),
+    "kimera-multi-apis": SensorPreset(
+        lid_topic="/apis/lidar_points",
+        imu_topic="/apis/forward/imu",
+        lidar_type=2, timestamp_unit=2, blind=0.3, det_range=100.0,
+        acc_cov=0.1, gyr_cov=0.1, b_acc_cov=0.01, b_gyr_cov=0.005,
+        extrinsic_T=(0.07025405, -0.10158666, -0.04942693),
+        extrinsic_R=(
+            -2.9046527369e-02, -9.9957706196e-01, -1.7154151723e-03,
+            -6.9278006858e-02, 3.7251435690e-03, -9.9759064383e-01,
+            9.9717458733e-01, -2.8857692625e-02, -6.9356874944e-02,
+        ),
+        filter_size_surf=0.2, filter_size_map=0.2,
+    ),
     # fastlio_config_launch/vbr-colosseo.{yaml,launch}
     "vbr-colosseo": SensorPreset(
         lid_topic="/ouster/points", imu_topic="/imu/data",

@@ -31,6 +31,12 @@ class LoopConfig(NamedTuple):
     submap_points: int = 16384  # static budget of each assembled submap
     nn_chunk: int = 2048
     trim_fraction: float = 0.8  # trimmed-ICP fraction (1.0 = reference-like)
+    # DELIBERATE DIVERGENCE from the reference: pcl::ICP accepts on
+    # `converged && fitness < threshold` alone (`loop_closure.cpp:85`); a
+    # fitness computed over a handful of correspondences is meaningless, so
+    # we additionally require this many in-range correspondences. Set to 0
+    # for reference-exact acceptance.
+    min_correspondences: int = 100
 
 
 def build_submap(
@@ -93,7 +99,9 @@ def verify_loop(
         nn_chunk=cfg.nn_chunk,
         trim_fraction=cfg.trim_fraction,
     )
-    accepted = (fitness < cfg.icp_score_threshold) & (n_corr > 100)
+    accepted = (fitness < cfg.icp_score_threshold) & (
+        n_corr > cfg.min_correspondences
+    )
     T_q = poses[query_idx]
     T_c = poses[cand_idx]
     pose_from = se3.compose(icp_tf, T_q)  # fast_lio_sam.cpp:703 ordering

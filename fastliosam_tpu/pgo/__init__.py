@@ -7,5 +7,6 @@ from .graph import (  # noqa: F401
     add_between,
     add_gps,
     set_pose,
+    grow,
 )
-from .solver import solve, graph_cost  # noqa: F401
+from .solver import solve, graph_cost, marginal_covariance  # noqa: F401

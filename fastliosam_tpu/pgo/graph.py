@@ -131,6 +131,37 @@ def from_arrays(
     return g
 
 
+def grow(g: PoseGraph, cfg_new: PoseGraphConfig) -> PoseGraph:
+    """Re-allocate a graph at larger capacities, preserving all contents.
+
+    Host-side (eager) — used by the runtime's capacity policy so long
+    sequences never silently drop factors (the reference's GTSAM graph grows
+    unboundedly; our fixed-capacity arrays grow geometrically instead).
+    """
+    g2 = make_graph(cfg_new)
+    K = g.poses.shape[0]
+    F = g.bt_i.shape[0]
+    G = g.gps_idx.shape[0]
+    assert cfg_new.max_keyframes >= K and cfg_new.max_between >= F
+    assert cfg_new.max_gps >= G
+    return g2._replace(
+        poses=g2.poses.at[:K].set(g.poses),
+        kf_valid=g2.kf_valid.at[:K].set(g.kf_valid),
+        n_kf=g.n_kf,
+        bt_i=g2.bt_i.at[:F].set(g.bt_i),
+        bt_j=g2.bt_j.at[:F].set(g.bt_j),
+        bt_rel=g2.bt_rel.at[:F].set(g.bt_rel),
+        bt_sqrt_info=g2.bt_sqrt_info.at[:F].set(g.bt_sqrt_info),
+        bt_valid=g2.bt_valid.at[:F].set(g.bt_valid),
+        n_bt=g.n_bt,
+        gps_idx=g2.gps_idx.at[:G].set(g.gps_idx),
+        gps_xyz=g2.gps_xyz.at[:G].set(g.gps_xyz),
+        gps_sqrt_info=g2.gps_sqrt_info.at[:G].set(g.gps_sqrt_info),
+        gps_valid=g2.gps_valid.at[:G].set(g.gps_valid),
+        n_gps=g.n_gps,
+    )
+
+
 def add_keyframe(g: PoseGraph, pose) -> PoseGraph:
     """Append a keyframe pose (no-op when at capacity). Returns new graph."""
     k = g.n_kf

@@ -209,6 +209,36 @@ def _pcg(matvec, b, Hd, lam, iters):
 
 
 @geometry_precision
+def marginal_covariance(g: PoseGraph, cfg: PoseGraphConfig, idx,
+                        prior_pose=None):
+    """6×6 marginal covariance block of keyframe ``idx`` at the current
+    linearization — the `ISAM2::marginalCovariance` analog the reference
+    reads back per keyframe (`fast_lio_sam.cpp:523`,
+    `pose_covariance_ = isam_handler_->marginalCovariance(...)`).
+
+    Tangent ordering here is [trans, rot]: translation variances are
+    ``diag(cov)[:3]`` (GTSAM Pose3 orders [rot, trans], so the reference's
+    ``cov(3,3)/cov(4,4)`` x/y-translation gate reads ``cov[0,0]/cov[1,1]``
+    of this block). Invalid keyframe blocks are decoupled with unit
+    diagonal so the factorization stays SPD.
+    """
+    if prior_pose is None:
+        prior_pose = g.poses[0]
+    K = g.poses.shape[0]
+    H, _ = _assemble_dense(g, cfg, prior_pose)
+    Hfull = jnp.swapaxes(H, 1, 2).reshape(K * 6, K * 6)
+    invalid = jnp.repeat(~g.kf_valid, 6).astype(jnp.float32)
+    Hfull = Hfull + jnp.diag(invalid + 1e-6)
+    L = jnp.linalg.cholesky(Hfull)
+    cols = jnp.arange(6)
+    E = jnp.zeros((K * 6, 6), jnp.float32)
+    E = E.at[idx * 6 + cols, cols].set(1.0)
+    y = jax.scipy.linalg.solve_triangular(L, E, lower=True)
+    X = jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+    return jax.lax.dynamic_slice(X, (idx * 6, 0), (6, 6))
+
+
+@geometry_precision
 def solve(g: PoseGraph, cfg: PoseGraphConfig, prior_pose=None):
     """Run the LM loop; returns the graph with optimized poses.
 

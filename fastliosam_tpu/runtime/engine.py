@@ -35,7 +35,9 @@ from ..pgo import (
     add_between,
     add_gps,
     add_keyframe,
+    grow,
     make_graph,
+    marginal_covariance,
     solve,
 )
 
@@ -56,6 +58,17 @@ class EngineConfig(NamedTuple):
     use_gps_elevation: bool = False
     gps_time_tol: float = 0.05
     gps_noise_floor: float = 1.0
+    # skip GPS factors while the pose marginal covariance (x/y translation)
+    # is already below this (fast_lio_sam.cpp:192-193, pose_cov_thres 0.02)
+    pose_cov_thres: float = 0.02
+    # distance-triggered capture hook cadence in meters: the reference calls
+    # the /save_image service every >=1 m traveled (fast_lio_sam.cpp:389-407).
+    # 0 disables; assign `engine.capture_hook = fn(stamp, corrected_T)`.
+    capture_distance: float = 0.0
+    # what to do when a fixed-capacity graph/keyframe array fills up:
+    # "grow" doubles the capacity (recompiles the solver at the new shape),
+    # "error" raises. Never drops silently.
+    capacity_policy: str = "grow"
     # odometry between-factor noise (fast_lio_sam.cpp:471-474:
     # Variances rad²=1e-4, m²=1e-2 -> sqrt info [10, 100])
     odom_trans_sqrt_info: float = 10.0
@@ -147,6 +160,23 @@ class SlamEngine:
         self.last_gps_factor_pos: Optional[np.ndarray] = None
         self.solve_count = 0
         self._needs_solve = False
+        # pose marginal covariance (x/y translation variances) of the last
+        # keyframe at the most recent solve; None = never solved (treated as
+        # unbounded, so the GPS gate stays open). Between solves the
+        # covariance grows by one odometry-factor variance per keyframe.
+        self._pose_cov_xy: Optional[np.ndarray] = None
+        self._cov_solved_kf = -1
+        # loop dedup: highest keyframe index already loop-attempted (the
+        # reference's per-keyframe processed_ flag, fast_lio_sam.cpp:684-689)
+        self._loop_processed_kf = 0
+        self._pending_loop = None
+        # host-side factor counters (adds happen inside jit, so overflow
+        # there would be silent — the engine enforces capacity up front)
+        self._n_bt_host = 0
+        self._n_gps_host = 0
+        # distance-triggered capture hook (fast_lio_sam.cpp:389-407)
+        self.capture_hook = None
+        self._dist_since_capture = 0.0
 
         self._jit_odom = jax.jit(
             lambda s, scan, imu, dt: odom_step(
@@ -155,6 +185,9 @@ class SlamEngine:
             donate_argnums=(0,),
         )
         self._jit_solve = jax.jit(lambda g: solve(g, self.pgo_cfg))
+        self._jit_marginal = jax.jit(
+            lambda g, i: marginal_covariance(g, self.pgo_cfg, i)
+        )
         self._jit_detect = jax.jit(
             lambda pos, stamps, valid, q: fetch_closest_keyframe_idx(
                 pos, stamps, valid, q, self.loop_cfg.radius, self.loop_cfg.time_gap
@@ -209,6 +242,61 @@ class SlamEngine:
             _commit_keyframe, donate_argnums=(0, 1, 2, 3, 4)
         )
 
+        # ---- chunked path: S scans per dispatch, keyframe decision + commit
+        # on device (lax.cond inside lax.scan) — ONE host sync per chunk
+        # instead of one per scan (the whole live path
+        # fast_lio_sam.cpp:367-573 minus the loop timer, which the engine
+        # runs at chunk boundaries) ----
+        @geometry_precision
+        def _chunk_rollout(odom, graph, kf_clouds, kf_masks, kf_raw_poses,
+                           kf_stamps, kf_n, last_raw, last_corr,
+                           scans, imus, stamps, scan_dt):
+            def step(carry, inp):
+                (odom, graph, clouds, masks, rposes, kstamps, kf_n,
+                 last_raw, last_corr) = carry
+                scan, imu, stamp = inp
+                odom, aux = odom_step(
+                    odom, scan, imu, scan_dt, self.odom_cfg, self.map_cfg
+                )
+                raw_T = se3.make(aux["R"], aux["p"])
+                # realtime delta-chaining (fast_lio_sam.cpp:374-384)
+                corrected = se3.compose(
+                    last_corr, se3.between(last_raw, raw_T)
+                )
+                dist = jnp.linalg.norm(se3.trans(raw_T) - se3.trans(last_raw))
+                is_kf = (kf_n == 0) | (dist > cfg.keyframe_threshold)
+
+                def commit(args):
+                    graph, clouds, masks, rposes, kstamps = args
+                    return _commit_keyframe(
+                        graph, clouds, masks, rposes, kstamps,
+                        kf_n, aux["cloud_world"], aux["cloud_mask"],
+                        raw_T, corrected, last_raw, stamp,
+                    )
+
+                (graph, clouds, masks, rposes, kstamps) = jax.lax.cond(
+                    is_kf,
+                    commit,
+                    lambda a: a,
+                    (graph, clouds, masks, rposes, kstamps),
+                )
+                kf_n = kf_n + is_kf.astype(jnp.int32)
+                last_raw = jnp.where(is_kf, raw_T, last_raw)
+                last_corr = jnp.where(is_kf, corrected, last_corr)
+                carry = (odom, graph, clouds, masks, rposes, kstamps, kf_n,
+                         last_raw, last_corr)
+                out = (raw_T, corrected, is_kf, aux["n_matched"])
+                return carry, out
+
+            carry0 = (odom, graph, kf_clouds, kf_masks, kf_raw_poses,
+                      kf_stamps, kf_n, last_raw, last_corr)
+            carry, outs = jax.lax.scan(step, carry0, (scans, imus, stamps))
+            return carry, outs
+
+        self._jit_chunk = jax.jit(
+            _chunk_rollout, donate_argnums=(0, 1, 2, 3, 4, 5)
+        )
+
     # ------------------------------------------------------------------
     # per-scan entry point
     # ------------------------------------------------------------------
@@ -238,8 +326,19 @@ class SlamEngine:
         corrected_T = (last_corr @ delta).astype(np.float32)
 
         if self._last_p is not None:
-            self.traj_len += float(np.linalg.norm(p_np - self._last_p))
+            step_d = float(np.linalg.norm(p_np - self._last_p))
+            self.traj_len += step_d
+            self._dist_since_capture += step_d
         self._last_p = p_np
+        # distance-triggered capture hook (the reference's /save_image
+        # service call every >= 1 m traveled, fast_lio_sam.cpp:389-407)
+        if (
+            self.capture_hook is not None
+            and self.cfg.capture_distance > 0.0
+            and self._dist_since_capture >= self.cfg.capture_distance
+        ):
+            self._dist_since_capture = 0.0
+            self.capture_hook(float(stamp), corrected_T)
         self.raw_traj.append(raw_T)
         self.realtime_traj.append(corrected_T)
         self.scan_stamps.append(float(stamp))
@@ -266,10 +365,146 @@ class SlamEngine:
         return np.asarray(corrected_T)
 
     # ------------------------------------------------------------------
+    # chunked entry point: S scans per dispatch, one host sync per chunk
+    # ------------------------------------------------------------------
+    def process_chunk(self, scans: Scan, imus: ImuBatch, stamps, scan_dt,
+                      gps: Optional[list] = None):
+        """Advance the pipeline by a chunk of S scans in ONE device dispatch
+        (keyframe decisions + commits run on device inside `lax.scan`).
+        Loop detection/verification and PGO solves run at the chunk
+        boundary, so choosing S = ``loop_check_every`` reproduces the
+        reference's 2 Hz loop-timer cadence exactly. Returns the (S, 4, 4)
+        realtime corrected poses."""
+        for fix in gps or []:
+            self._on_gps(fix)
+        S = scans.xyz.shape[0]
+        # pre-grow so on-device adds can never hit the masked no-op backstop
+        while self.kf.n + S > self.pgo_cfg.max_keyframes:
+            self._grow_keyframes()
+        while self._n_bt_host + S > self.pgo_cfg.max_between:
+            self._grow_between()
+
+        stamps = jnp.asarray(np.asarray(stamps, np.float32))
+        carry, (raw_Ts, corr_Ts, is_kf, n_matched) = self._jit_chunk(
+            self.odom, self.graph, self.kf.clouds, self.kf.masks,
+            self.kf.raw_poses, self.kf.stamps,
+            jnp.int32(self.kf.n),
+            jnp.asarray(self.last_kf_raw, jnp.float32),
+            jnp.asarray(self.last_kf_corrected, jnp.float32),
+            scans, imus, stamps, jnp.float32(scan_dt),
+        )
+        (self.odom, self.graph, clouds, masks, rposes, kstamps, kf_n,
+         last_raw, last_corr) = carry
+        self.kf.clouds, self.kf.masks = clouds, masks
+        self.kf.raw_poses, self.kf.stamps = rposes, kstamps
+
+        # single host readback for the whole chunk
+        raw_np = np.asarray(raw_Ts)
+        corr_np = np.asarray(corr_Ts)
+        kf_np = np.asarray(is_kf)
+        stamps_np = np.asarray(stamps)
+        new_kf = int(kf_np.sum())
+        first_kf_idx = self.kf.n
+        self.kf.n += new_kf
+        self._n_bt_host += new_kf - (1 if first_kf_idx == 0 and new_kf else 0)
+        self.last_kf_raw = np.asarray(last_raw)
+        self.last_kf_corrected = np.asarray(last_corr)
+
+        # host bookkeeping per scan (numpy, no device traffic)
+        kf_counter = first_kf_idx
+        for s in range(S):
+            p = raw_np[s, :3, 3]
+            if self._last_p is not None:
+                step_d = float(np.linalg.norm(p - self._last_p))
+                self.traj_len += step_d
+                self._dist_since_capture += step_d
+            self._last_p = p
+            if (
+                self.capture_hook is not None
+                and self.cfg.capture_distance > 0.0
+                and self._dist_since_capture >= self.cfg.capture_distance
+            ):
+                self._dist_since_capture = 0.0
+                self.capture_hook(float(stamps_np[s]), corr_np[s])
+            self.raw_traj.append(raw_np[s])
+            self.realtime_traj.append(corr_np[s])
+            self.scan_stamps.append(float(stamps_np[s]))
+            if kf_np[s]:
+                if self.cfg.use_gps:
+                    self._try_add_gps_factor(
+                        kf_counter, float(stamps_np[s]), corr_np[s]
+                    )
+                kf_counter += 1
+        self.scan_count += S
+
+        # loop cadence + solve at the chunk boundary
+        if self.kf.n > 1:
+            self._attempt_loop()
+        if self._needs_solve:
+            self._solve()
+        return corr_np
+
+    # ------------------------------------------------------------------
+    # capacity policy: grow (double) or fail loudly — never drop silently
+    # ------------------------------------------------------------------
+    def _capacity_event(self, what: str, old: int, new: int):
+        import warnings
+
+        if self.cfg.capacity_policy == "error":
+            raise RuntimeError(
+                f"pose-graph {what} capacity exhausted at {old} "
+                f"(capacity_policy='error'; use 'grow' or raise the limit)"
+            )
+        warnings.warn(
+            f"pose-graph {what} capacity {old} reached — growing to {new} "
+            f"(solver recompiles at the new shape)",
+            stacklevel=3,
+        )
+
+    def _grow_keyframes(self):
+        old = self.pgo_cfg.max_keyframes
+        new = old * 2
+        self._capacity_event("keyframe", old, new)
+        self.pgo_cfg = self.pgo_cfg._replace(max_keyframes=new)
+        self.graph = grow(self.graph, self.pgo_cfg)
+        eye_pad = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (old, 4, 4))
+        self.kf = KeyframeStore(
+            clouds=jnp.concatenate(
+                [self.kf.clouds, jnp.zeros_like(self.kf.clouds)], axis=0
+            ),
+            masks=jnp.concatenate(
+                [self.kf.masks, jnp.zeros_like(self.kf.masks)], axis=0
+            ),
+            raw_poses=jnp.concatenate([self.kf.raw_poses, eye_pad], axis=0),
+            stamps=jnp.concatenate(
+                [self.kf.stamps, jnp.zeros_like(self.kf.stamps)], axis=0
+            ),
+            n=self.kf.n,
+        )
+
+    def _grow_between(self):
+        old = self.pgo_cfg.max_between
+        new = old * 2
+        self._capacity_event("between-factor", old, new)
+        self.pgo_cfg = self.pgo_cfg._replace(max_between=new)
+        self.graph = grow(self.graph, self.pgo_cfg)
+
+    def _grow_gps(self):
+        old = self.pgo_cfg.max_gps
+        new = old * 2
+        self._capacity_event("GPS-factor", old, new)
+        self.pgo_cfg = self.pgo_cfg._replace(max_gps=new)
+        self.graph = grow(self.graph, self.pgo_cfg)
+
+    # ------------------------------------------------------------------
     def _add_keyframe(self, raw_T, corrected_T, aux, stamp):
         k = self.kf.n
         if k >= self.pgo_cfg.max_keyframes:
-            return
+            self._grow_keyframes()
+        if k > 0:
+            if self._n_bt_host >= self.pgo_cfg.max_between:
+                self._grow_between()
+            self._n_bt_host += 1
         # store body-frame cloud (PosePcd stores LiDAR-frame clouds,
         # pose_pcd.hpp:39-40) + graph entries in ONE jitted dispatch
         prev_raw = self.last_kf_raw
@@ -307,6 +542,12 @@ class SlamEngine:
         # background, so reading the accept flag costs ~nothing
         self._resolve_pending_loop()
         k = self.kf.n
+        # processed-flag dedup (fast_lio_sam.cpp:684-689): each keyframe is
+        # loop-attempted at most once — when the vehicle dwells, the same
+        # (query, cand) pair is never re-ICP'd or re-added
+        if k - 1 <= self._loop_processed_kf:
+            return
+        self._loop_processed_kf = k - 1
         positions = se3.trans(self.graph.poses)
         idx, found = self._jit_detect(
             positions, self.kf.stamps, self.graph.kf_valid, k - 1
@@ -333,6 +574,9 @@ class SlamEngine:
         self._pending_loop = None
         qi, ci, (rel, sqrt_info, accepted, fitness) = pending
         if bool(accepted):
+            if self._n_bt_host >= self.pgo_cfg.max_between:
+                self._grow_between()
+            self._n_bt_host += 1
             self.graph = add_between(self.graph, qi, ci, rel, sqrt_info)
             self.loop_pairs.append((qi, ci))
             self._needs_solve = True
@@ -347,6 +591,24 @@ class SlamEngine:
         # (fast_lio_sam.cpp:515-537 corrected-estimate readback)
         self.last_kf_corrected = np.asarray(self.graph.poses[k - 1])
         self.last_kf_raw = np.asarray(self.kf.raw_poses[k - 1])
+        if self.cfg.use_gps:
+            # pose_covariance_ readback (fast_lio_sam.cpp:523) — only the
+            # x/y translation marginals feed the GPS gate
+            cov = self._jit_marginal(self.graph, jnp.int32(k - 1))
+            self._pose_cov_xy = np.asarray(cov)[(0, 1), (0, 1)]
+            self._cov_solved_kf = k - 1
+
+    def _pose_cov_estimate(self, kf_idx):
+        """x/y translation marginal variance of keyframe ``kf_idx``: the
+        value at the last solve grown by one odometry-factor variance per
+        keyframe since (between solves iSAM2 would have tracked this;
+        we extrapolate instead of re-factorizing every keyframe)."""
+        if self._pose_cov_xy is None:
+            return np.full((2,), np.inf)
+        odom_var = 1.0 / self.cfg.odom_trans_sqrt_info**2
+        return self._pose_cov_xy + odom_var * max(
+            kf_idx - self._cov_solved_kf, 0
+        )
 
     # ------------------------------------------------------------------
     # GPS path (gpsCallback + add_gps_factor, fast_lio_sam.cpp:148-260)
@@ -372,6 +634,11 @@ class SlamEngine:
     def _try_add_gps_factor(self, kf_idx, kf_stamp, corrected_T):
         cfg = self.cfg
         if self.traj_len < cfg.min_traj_len:  # :183-189
+            return
+        # skip while the pose is already well-constrained (:192-193): both
+        # x and y translation marginals below pose_cov_thres
+        pose_cov = self._pose_cov_estimate(kf_idx)
+        if pose_cov[0] < cfg.pose_cov_thres and pose_cov[1] < cfg.pose_cov_thres:
             return
         # queue scrub around the keyframe stamp (:198-209)
         while self.gps_queue and self.gps_queue[0][0] < kf_stamp - cfg.gps_time_tol:
@@ -399,6 +666,9 @@ class SlamEngine:
             noise[2] = 0.01
         noise = np.maximum(noise, cfg.gps_noise_floor)  # :252
         sqrt_info = jnp.asarray(1.0 / noise, jnp.float32)
+        if self._n_gps_host >= self.pgo_cfg.max_gps:
+            self._grow_gps()
+        self._n_gps_host += 1
         self.graph = add_gps(
             self.graph, kf_idx, jnp.asarray(z, jnp.float32), sqrt_info
         )

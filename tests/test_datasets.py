@@ -159,3 +159,7 @@ def test_preset_odom_kwargs():
         np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-4)
     assert PRESETS["mulran"].point_filter_num == 3  # mulran.launch
     assert PRESETS["kimera-multi"].filter_size_surf == 0.2  # kimera launch
+    # per-robot kimera-multi variants (run.launch:38-43)
+    assert PRESETS["kimera-multi-acl_jackal2"].lid_topic == "/acl_jackal2/lidar_points"
+    assert PRESETS["kimera-multi-apis"].lid_topic == "/apis/lidar_points"
+    assert PRESETS["kimera-multi-apis"].imu_topic == "/apis/forward/imu"

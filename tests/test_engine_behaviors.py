@@ -1,0 +1,242 @@
+"""Unit tests for engine behaviors added for reference fidelity:
+
+* loop processed-flag dedup (`fast_lio_sam.cpp:684-689`)
+* GPS pose-covariance gate (`fast_lio_sam.cpp:192-193`)
+* distance-triggered capture hook (`fast_lio_sam.cpp:389-407`)
+* loud grow/error at graph capacity (no silent factor drops)
+
+These drive the engine with tiny synthetic inputs (empty scans, CV-only
+odometry) so they run in seconds, unlike the full-pipeline tests in
+test_engine.py.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from fastliosam_tpu.loop import LoopConfig
+from fastliosam_tpu.map import VoxelMapConfig
+from fastliosam_tpu.odom import ImuBatch, OdomConfig, Scan
+from fastliosam_tpu.pgo import PoseGraphConfig
+from fastliosam_tpu.runtime import EngineConfig, GpsFix, SlamEngine
+
+
+def tiny_engine(**cfg_kw):
+    pgo_kw = cfg_kw.pop("pgo_kw", {})
+    return SlamEngine(
+        odom_cfg=OdomConfig(
+            point_filter_num=1, blind=0.1, filter_size_surf=0.3,
+            num_ds_points=64, evict_every=10_000,
+        ),
+        map_cfg=VoxelMapConfig(capacity=1 << 10, voxel_size=0.4, min_points=4),
+        loop_cfg=LoopConfig(
+            radius=5.0, time_gap=2.0, num_submap_keyframes=1,
+            submap_points=256, max_iterations=4, nn_chunk=64,
+        ),
+        pgo_cfg=PoseGraphConfig(
+            max_keyframes=4, max_between=4, max_gps=2, lm_iters=2,
+            pcg_iters=8, **pgo_kw,
+        ),
+        cfg=EngineConfig(
+            keyframe_threshold=0.15, loop_check_every=2,
+            kf_cloud_points=64, kf_cloud_voxel=0.3, **cfg_kw,
+        ),
+    )
+
+
+def empty_scan(n=64):
+    return Scan(
+        xyz=jnp.zeros((n, 3), jnp.float32),
+        t_offset=jnp.zeros((n,), jnp.float32),
+        mask=jnp.zeros((n,), bool),
+    )
+
+
+def empty_imu(m=8):
+    return ImuBatch(
+        stamps=jnp.full((m,), 1e9, jnp.float32),
+        gyro=jnp.zeros((m, 3), jnp.float32),
+        acc=jnp.zeros((m, 3), jnp.float32),
+        mask=jnp.zeros((m,), bool),
+    )
+
+
+def drive(engine, n_scans, v=1.0, dt=0.1, **process_kw):
+    """CV-only rollout: no IMU, empty scans — the filter's constant-velocity
+    prediction moves it v*dt per scan, exercising keyframing/hook/capacity
+    paths without real matching."""
+    engine.odom = engine.odom._replace(
+        nav=engine.odom.nav._replace(v=jnp.asarray([v, 0.0, 0.0], jnp.float32))
+    )
+    out = []
+    for k in range(n_scans):
+        out.append(
+            engine.process(empty_scan(), empty_imu(), k * dt, dt, **process_kw)
+        )
+    return out
+
+
+def test_capture_hook_distance_trigger():
+    engine = tiny_engine(capture_distance=0.25)
+    calls = []
+    engine.capture_hook = lambda stamp, T: calls.append((stamp, T.copy()))
+    drive(engine, 12)  # ~1.1 m traveled at 1 m/s, 0.1 s steps
+    assert 3 <= len(calls) <= 5, f"expected ~4 captures, got {len(calls)}"
+    # monotone stamps, ~0.25 m apart
+    pos = np.array([T[:3, 3] for _, T in calls])
+    gaps = np.linalg.norm(np.diff(pos, axis=0), axis=1)
+    assert np.all(gaps > 0.2)
+
+
+def test_capture_hook_disabled_by_default():
+    engine = tiny_engine()
+    calls = []
+    engine.capture_hook = lambda stamp, T: calls.append(stamp)
+    drive(engine, 6)
+    assert calls == []
+
+
+def test_capacity_grow_keyframes_and_betweens():
+    engine = tiny_engine()
+    with pytest.warns(UserWarning, match="capacity"):
+        drive(engine, 14)  # ~7 keyframes at 0.15 m threshold > cap 4
+    assert engine.kf.n > 4
+    assert engine.pgo_cfg.max_keyframes >= 8
+    assert engine.graph.poses.shape[0] == engine.pgo_cfg.max_keyframes
+    assert int(engine.graph.n_kf) == engine.kf.n
+    # odometry chain intact across the grow: k-1 between factors
+    assert int(engine.graph.n_bt) == engine.kf.n - 1
+    assert bool(jnp.all(engine.graph.bt_valid[: engine.kf.n - 1]))
+    # poses preserved: translations strictly increasing in x
+    x = np.asarray(engine.graph.poses[: engine.kf.n, 0, 3])
+    assert np.all(np.diff(x) > 0)
+
+
+def test_capacity_error_policy():
+    engine = tiny_engine(capacity_policy="error")
+    with pytest.raises(RuntimeError, match="capacity"):
+        drive(engine, 20)
+
+
+def test_loop_processed_dedup():
+    engine = tiny_engine()
+    detect_calls = []
+    orig = engine._jit_detect
+    engine._jit_detect = lambda *a: (detect_calls.append(1), orig(*a))[1]
+    drive(engine, 8)
+    n1 = len(detect_calls)
+    assert n1 >= 1
+    # vehicle dwells: no new keyframes -> the same latest keyframe must NOT
+    # be re-queried (processed flag, fast_lio_sam.cpp:684-689)
+    engine.odom = engine.odom._replace(
+        nav=engine.odom.nav._replace(v=jnp.zeros((3,), jnp.float32))
+    )
+    for k in range(8):
+        engine.process(empty_scan(), empty_imu(), 0.8 + k * 0.1, 0.1)
+    assert len(detect_calls) == n1, "dwelling re-queried a processed keyframe"
+
+
+def test_gps_pose_cov_gate():
+    engine = tiny_engine(
+        use_gps=True, min_traj_len=0.0, gps_dist_thres=0.0,
+        gps_time_tol=10.0, pose_cov_thres=0.02,
+    )
+    engine.traj_len = 10.0
+
+    def push_fix(x):
+        engine.gps_queue.append(
+            (0.0, np.array([x, 0.0, 0.0]), np.array([0.5, 0.5, 0.5]))
+        )
+
+    # never solved -> covariance unknown/unbounded -> gate open
+    push_fix(10.0)
+    engine._try_add_gps_factor(0, 0.0, np.eye(4, dtype=np.float32))
+    assert engine._n_gps_host == 1
+
+    # well-constrained pose right at the last solve -> gated
+    engine._pose_cov_xy = np.array([1e-4, 1e-4])
+    engine._cov_solved_kf = 1
+    push_fix(20.0)
+    engine._try_add_gps_factor(1, 0.0, np.eye(4, dtype=np.float32))
+    assert engine._n_gps_host == 1, "GPS factor added despite small pose cov"
+
+    # covariance estimate must grow between solves (one odometry-factor
+    # variance per keyframe) and re-open the gate
+    grown = engine._pose_cov_estimate(10)
+    assert np.all(grown > engine._pose_cov_xy)
+    push_fix(30.0)
+    engine._try_add_gps_factor(10, 0.0, np.eye(4, dtype=np.float32))
+    assert engine._n_gps_host == 2
+
+
+def test_gps_factor_capacity_grow():
+    engine = tiny_engine(
+        use_gps=True, min_traj_len=0.0, gps_dist_thres=0.0, gps_time_tol=10.0
+    )
+    engine.traj_len = 10.0
+    with pytest.warns(UserWarning, match="GPS-factor capacity"):
+        for i in range(4):  # cap is 2
+            engine.gps_queue.append(
+                (0.0, np.array([10.0 * (i + 1), 0.0, 0.0]),
+                 np.array([0.5, 0.5, 0.5]))
+            )
+            engine._try_add_gps_factor(0, 0.0, np.eye(4, dtype=np.float32))
+    assert engine._n_gps_host == 4
+    assert int(engine.graph.n_gps) == 4
+    assert engine.pgo_cfg.max_gps >= 4
+
+
+def chunked_drive(engine, n_scans, chunk=4, v=1.0, dt=0.1):
+    engine.odom = engine.odom._replace(
+        nav=engine.odom.nav._replace(v=jnp.asarray([v, 0.0, 0.0], jnp.float32))
+    )
+    out = []
+    for c in range(0, n_scans, chunk):
+        S = min(chunk, n_scans - c)
+        scans = Scan(
+            xyz=jnp.zeros((S, 64, 3), jnp.float32),
+            t_offset=jnp.zeros((S, 64), jnp.float32),
+            mask=jnp.zeros((S, 64), bool),
+        )
+        imus = ImuBatch(
+            stamps=jnp.full((S, 8), 1e9, jnp.float32),
+            gyro=jnp.zeros((S, 8, 3), jnp.float32),
+            acc=jnp.zeros((S, 8, 3), jnp.float32),
+            mask=jnp.zeros((S, 8), bool),
+        )
+        stamps = [(c + i) * dt for i in range(S)]
+        out.append(engine.process_chunk(scans, imus, stamps, dt))
+    return np.concatenate(out, axis=0)
+
+
+def test_chunked_matches_per_scan():
+    """process_chunk (on-device keyframe decision, one sync per chunk) must
+    reproduce the per-scan process() path: same poses, keyframes, factors."""
+    e1 = tiny_engine()
+    per_scan = np.stack(drive(e1, 12))
+    e2 = tiny_engine()
+    chunked = chunked_drive(e2, 12, chunk=4)
+    np.testing.assert_allclose(chunked, per_scan, atol=1e-5)
+    assert e2.kf.n == e1.kf.n
+    assert int(e2.graph.n_bt) == int(e1.graph.n_bt)
+    assert e2._n_bt_host == e1._n_bt_host
+    np.testing.assert_allclose(
+        np.asarray(e2.graph.poses[: e2.kf.n]),
+        np.asarray(e1.graph.poses[: e1.kf.n]),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(e2.kf.stamps[: e2.kf.n]),
+        np.asarray(e1.kf.stamps[: e1.kf.n]),
+        atol=1e-6,
+    )
+    assert e2.traj_len == pytest.approx(e1.traj_len, abs=1e-4)
+
+
+def test_chunked_capture_hook_and_growth():
+    engine = tiny_engine(capture_distance=0.25)
+    calls = []
+    engine.capture_hook = lambda stamp, T: calls.append(stamp)
+    with pytest.warns(UserWarning, match="capacity"):
+        chunked_drive(engine, 16, chunk=4)
+    assert engine.kf.n > 4  # grew past the cap of 4
+    assert 4 <= len(calls) <= 7

@@ -9,7 +9,9 @@ from fastliosam_tpu.pgo import (
     add_gps,
     add_keyframe,
     graph_cost,
+    grow,
     make_graph,
+    marginal_covariance,
     solve,
 )
 
@@ -171,3 +173,55 @@ def test_from_arrays_matches_incremental(rng):
     c_inc = float(graph_cost(g_inc, CFG, prior_pose=gt[0]))
     c_bulk = float(graph_cost(g_bulk, CFG, prior_pose=gt[0]))
     assert abs(c_inc - c_bulk) < 1e-4 * max(1.0, c_inc)
+
+
+def test_marginal_covariance_chain(rng):
+    """Marginal covariance along an odometry-only chain grows linearly with
+    distance from the prior (identity rotations -> exactly additive), and a
+    GPS factor on the tail shrinks it back down."""
+    n = 16
+    gt = []
+    for k in range(n):
+        T = np.eye(4, dtype=np.float32)
+        T[0, 3] = float(k)
+        gt.append(jnp.asarray(T))
+    g = make_graph(CFG)
+    g = add_keyframe(g, gt[0])
+    sqrt_info = jnp.asarray([10.0] * 3 + [100.0] * 3, jnp.float32)
+    for k in range(1, n):
+        g = add_keyframe(g, gt[k])
+        g = add_between(g, k - 1, k, se3.between(gt[k - 1], gt[k]), sqrt_info)
+
+    covs = [
+        np.asarray(marginal_covariance(g, CFG, jnp.int32(k)))
+        for k in (1, 5, 15)
+    ]
+    var_x = [c[0, 0] for c in covs]
+    # per-factor translation variance is 1/10^2 = 0.01; prior var 1e-6
+    np.testing.assert_allclose(var_x, [0.01, 0.05, 0.15], rtol=0.05)
+    assert var_x[0] < var_x[1] < var_x[2]
+
+    # a strong GPS factor on the last node re-constrains the tail
+    g2 = add_gps(
+        g, n - 1, se3.trans(gt[n - 1]), jnp.asarray([10.0] * 3, jnp.float32)
+    )
+    c_tail = np.asarray(marginal_covariance(g2, CFG, jnp.int32(n - 1)))
+    assert c_tail[0, 0] < 0.02
+
+
+def test_grow_preserves_solution(rng):
+    """grow() keeps every pose/factor and the solver result unchanged."""
+    gt = circle_poses(24)
+    g = build_noisy_chain(gt, rng)
+    rel = se3.between(gt[-1], gt[0])
+    g = add_between(
+        g, 23, 0, rel, jnp.asarray([100.0] * 3 + [1000.0] * 3, jnp.float32)
+    )
+    cfg2 = CFG._replace(max_keyframes=128, max_between=256, max_gps=64)
+    g2 = grow(g, cfg2)
+    assert int(g2.n_kf) == int(g.n_kf) and int(g2.n_bt) == int(g.n_bt)
+    s1, c1 = solve(g, CFG)
+    s2, c2 = solve(g2, cfg2)
+    np.testing.assert_allclose(
+        np.asarray(s1.poses[:24]), np.asarray(s2.poses[:24]), atol=1e-5
+    )
