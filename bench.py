@@ -40,6 +40,11 @@ N_SCANS = 40
 N_WARM = 3
 RAW_PTS = 32768  # ~HDL-64 after point_filter_num=4
 IMU_CAP = 32
+# full-pipeline feed: figure-8 (self-intersecting) so loop closures + PGO
+# solves are active during the measurement
+PIPE_SCANS = 150
+PIPE_CACHE = os.path.join(REPO, "out", "bench_fig8_v1.npz")
+LIVOX_CACHE = os.path.join(REPO, "out", "bench_livox_v1.npz")
 
 
 def build_sequence():
@@ -87,6 +92,97 @@ def build_sequence():
     }
 
 
+def build_fig8_sequence():
+    """Loop-rich feed: lemniscate through the room, 1.25 periods — the path
+    self-intersects, so the engine's loop detection + ICP verification +
+    PGO solves all fire during the timed run."""
+    from fastliosam_tpu.sim import PlaneWorld, SimConfig, Trajectory, simulate_sequence
+
+    world = PlaneWorld.room(size=60.0, height=10.0, n_boxes=25, seed=11)
+    traj = Trajectory.figure8(scale=12.0, period=12.0, z_amp=0.2)
+    cfg = SimConfig(
+        scan_rate=10.0,
+        n_azimuth=2048,
+        n_elev=16,
+        max_range=120.0,
+        gyro_noise=0.001,
+        acc_noise=0.01,
+        seed=11,
+        time_groups=32,
+    )
+    data = simulate_sequence(world, traj, cfg, n_scans=PIPE_SCANS)
+    return pack_sequence(data, traj)
+
+
+def build_livox_sequence():
+    """Sparse irregular-density feed (Avia-like rosette, BASELINE.md eval
+    config #4)."""
+    from fastliosam_tpu.sim import PlaneWorld, SimConfig, Trajectory, simulate_sequence
+
+    world = PlaneWorld.room(size=60.0, height=10.0, n_boxes=25, seed=7)
+    traj = Trajectory.circle(radius=8.0, period=40.0, z_amp=0.3)
+    cfg = SimConfig(
+        scan_rate=10.0,
+        pattern="livox",
+        livox_n_points=8192,
+        max_range=120.0,
+        gyro_noise=0.001,
+        acc_noise=0.01,
+        seed=7,
+        time_groups=32,
+    )
+    data = simulate_sequence(world, traj, cfg, n_scans=N_SCANS + N_WARM)
+    return pack_sequence(data, traj)
+
+
+def pack_sequence(data, traj):
+    xyz = np.stack([s[0] for s in data["scans"]])
+    toff = np.stack([s[1] for s in data["scans"]])
+    mask = np.stack([s[2] for s in data["scans"]])
+    cap = max(IMU_CAP, max(len(b[0]) for b in data["imu"]))
+    imu_t = np.stack([np.pad(b[0], (0, cap - len(b[0])), constant_values=1e9)
+                      for b in data["imu"]])
+    imu_g = np.stack([np.pad(b[1], ((0, cap - len(b[1])), (0, 0)))
+                      for b in data["imu"]])
+    imu_a = np.stack([np.pad(b[2], ((0, cap - len(b[2])), (0, 0)))
+                      for b in data["imu"]])
+    imu_m = np.stack([np.arange(cap) < len(b[0]) for b in data["imu"]])
+    gt_p = np.stack([g[1] for g in data["gt"]])
+    gt_R = np.stack([g[0] for g in data["gt"]])
+    R0, p0 = traj.pose(0.0)
+    gps = data.get("gps", [])
+    out = {
+        "R0": R0.astype(np.float32),
+        "p0": p0.astype(np.float32),
+        "v0": traj.velocity(0.0).astype(np.float32),
+        "xyz": xyz.astype(np.float32),
+        "toff": toff.astype(np.float32),
+        "mask": mask,
+        "imu_t": imu_t.astype(np.float32),
+        "imu_g": imu_g.astype(np.float32),
+        "imu_a": imu_a.astype(np.float32),
+        "imu_m": imu_m,
+        "gt_p": gt_p.astype(np.float32),
+        "gt_R": gt_R.astype(np.float32),
+        "stamps": np.asarray(data["stamps"], np.float64),
+        "scan_dt": np.float32(data["scan_dt"]),
+    }
+    if len(gps):
+        out["gps_t"] = np.asarray([g[0] for g in gps], np.float64)
+        out["gps_xyz"] = np.stack([g[1] for g in gps]).astype(np.float64)
+        out["gps_noise"] = np.asarray([g[2] for g in gps], np.float64)
+    return out
+
+
+def _cached(path, builder):
+    if os.path.exists(path):
+        return dict(np.load(path))
+    data = builder()
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    np.savez_compressed(path, **data)
+    return data
+
+
 def get_sequence():
     if os.path.exists(CACHE):
         return dict(np.load(CACHE))
@@ -96,24 +192,27 @@ def get_sequence():
     return data
 
 
-def pad_scans(data):
-    """Pad the ray count to the RAW_PTS static budget."""
+def pad_scans(data, raw_pts=RAW_PTS):
+    """Pad the ray count to the static point budget."""
     s, n, _ = data["xyz"].shape
-    if n >= RAW_PTS:
-        sl = slice(0, RAW_PTS)
+    if n >= raw_pts:
+        sl = slice(0, raw_pts)
         return (
             data["xyz"][:, sl],
             data["toff"][:, sl],
             data["mask"][:, sl],
         )
-    pad = RAW_PTS - n
+    pad = raw_pts - n
     xyz = np.pad(data["xyz"], ((0, 0), (0, pad), (0, 0)), constant_values=1e6)
     toff = np.pad(data["toff"], ((0, 0), (0, pad)))
     mask = np.pad(data["mask"], ((0, 0), (0, pad)))
     return xyz, toff, mask
 
 
-def bench_odometry(data):
+def make_rollout(data, raw_pts=RAW_PTS, query_mode="merged3", num_ds=8192):
+    """Build the jitted odometry rollout + staged device feed for a packed
+    sequence. Returned ctx is reused by the init-variants (same program,
+    different initial state — no recompile)."""
     import jax
     import jax.numpy as jnp
 
@@ -126,17 +225,15 @@ def bench_odometry(data):
         point_filter_num=1,  # feed is already filtered
         blind=1.0,
         filter_size_surf=0.5,
-        num_ds_points=8192,
+        num_ds_points=num_ds,
         det_range=150.0,
         evict_every=10_000,
         # dense HDL-64-like feed: the adaptive 3-voxel pool is faster AND
         # more accurate than the 7-stencil here (measured: 95 vs 81 scans/s,
-        # ATE 0.19 vs 0.22); sparse feeds should keep the "merged" default
-        query_mode="merged3",
+        # ATE 0.19 vs 0.22); sparse feeds keep the "merged" default
+        query_mode=query_mode,
     )
-    xyz, toff, mask = pad_scans(data)
-    S = xyz.shape[0]
-
+    xyz, toff, mask = pad_scans(data, raw_pts)
     scans = Scan(
         xyz=jnp.asarray(xyz), t_offset=jnp.asarray(toff), mask=jnp.asarray(mask)
     )
@@ -147,15 +244,14 @@ def bench_odometry(data):
         mask=jnp.asarray(data["imu_m"]),
     )
     dt = jnp.float32(data["scan_dt"])
-
     roll = jax.jit(
         lambda st, scans, imus: odom_rollout(st, scans, imus, dt, odom_cfg, map_cfg)
     )
 
-    def fresh_state():
+    def gt_state():
         st = init_odom(map_cfg)
-        # start at the true initial pose/velocity (bench measures tracking
-        # throughput, not global initialization)
+        # start at the true initial pose/velocity (tracking throughput, not
+        # global initialization — the identity_state variant measures that)
         nav = st.nav._replace(
             R=jnp.asarray(data["R0"], jnp.float32),
             p=jnp.asarray(data["p0"], jnp.float32),
@@ -163,20 +259,228 @@ def bench_odometry(data):
         )
         return st._replace(nav=nav)
 
-    # warmup/compile
-    st, aux = roll(fresh_state(), scans, imus)
+    def identity_state():
+        return init_odom(map_cfg)
+
+    return {
+        "roll": roll, "scans": scans, "imus": imus, "S": xyz.shape[0],
+        "gt_state": gt_state, "identity_state": identity_state,
+        "map_cfg": map_cfg, "odom_cfg": odom_cfg,
+    }
+
+
+def _ate_rpe(ps, gt_p, scan_dt):
+    ate = float(np.sqrt(np.mean(np.sum((ps - gt_p) ** 2, axis=1))))
+    # translation RPE over a 1 s window (10 scans at 10 Hz)
+    d = max(1, int(round(1.0 / float(scan_dt))))
+    rel_est = ps[d:] - ps[:-d]
+    rel_gt = gt_p[d:] - gt_p[:-d]
+    rpe = float(np.sqrt(np.mean(np.sum((rel_est - rel_gt) ** 2, axis=1))))
+    return ate, rpe
+
+
+def bench_odometry(data):
+    ctx = make_rollout(data)
+    roll, scans, imus, S = ctx["roll"], ctx["scans"], ctx["imus"], ctx["S"]
+
+    st, aux = roll(ctx["gt_state"](), scans, imus)  # warmup/compile
     aux["p"].block_until_ready()
 
     t0 = time.perf_counter()
-    st, aux = roll(fresh_state(), scans, imus)
+    st, aux = roll(ctx["gt_state"](), scans, imus)
     aux["p"].block_until_ready()
     elapsed = time.perf_counter() - t0
     scans_per_sec = S / elapsed
 
     ps = np.asarray(aux["p"])
-    ate = float(np.sqrt(np.mean(np.sum((ps - data["gt_p"][:S]) ** 2, axis=1))))
+    ate, rpe = _ate_rpe(ps, data["gt_p"][:S], data["scan_dt"])
     matched = np.asarray(aux["n_matched"])
-    return scans_per_sec, ate, int(matched[-1])
+    return scans_per_sec, ate, rpe, int(matched[-1]), ctx
+
+
+def bench_no_gt_init(ctx, data):
+    """Adversarial: no ground-truth initialization — the filter starts at
+    identity with zero velocity and must survive the transient. ATE is
+    computed in the filter's own frame (first body frame)."""
+    roll, scans, imus = ctx["roll"], ctx["scans"], ctx["imus"]
+    st, aux = roll(ctx["identity_state"](), scans, imus)
+    ps = np.asarray(aux["p"])
+    R0, p0 = data["R0"], data["p0"]
+    gt_local = (data["gt_p"][: ctx["S"]] - p0) @ R0  # R0.T @ (p - p0)
+    ate, rpe = _ate_rpe(ps, gt_local, data["scan_dt"])
+    return ate, rpe
+
+
+def bench_livox(budget_left):
+    """Adversarial: sparse non-repetitive Livox-rosette feed (irregular
+    density, forward cone only — BASELINE.md eval config #4)."""
+    data = _cached(LIVOX_CACHE, build_livox_sequence)
+    ctx = make_rollout(data, raw_pts=8192, query_mode="merged", num_ds=4096)
+    roll, scans, imus, S = ctx["roll"], ctx["scans"], ctx["imus"], ctx["S"]
+    st, aux = roll(ctx["gt_state"](), scans, imus)
+    aux["p"].block_until_ready()
+    t0 = time.perf_counter()
+    st, aux = roll(ctx["gt_state"](), scans, imus)
+    aux["p"].block_until_ready()
+    sps = S / (time.perf_counter() - t0)
+    ps = np.asarray(aux["p"])
+    ate, _ = _ate_rpe(ps, data["gt_p"][:S], data["scan_dt"])
+    return sps, ate
+
+
+def make_engine_for(data, raw_pts=RAW_PTS, chunk=5):
+    from fastliosam_tpu.loop import LoopConfig
+    from fastliosam_tpu.map import VoxelMapConfig
+    from fastliosam_tpu.odom import OdomConfig
+    from fastliosam_tpu.pgo import PoseGraphConfig
+    from fastliosam_tpu.runtime import EngineConfig, SlamEngine
+
+    return SlamEngine(
+        odom_cfg=OdomConfig(
+            point_filter_num=1, blind=1.0, filter_size_surf=0.5,
+            num_ds_points=8192, det_range=150.0, evict_every=10_000,
+            query_mode="merged3",
+        ),
+        map_cfg=VoxelMapConfig(capacity=1 << 19, voxel_size=0.5, min_points=5),
+        loop_cfg=LoopConfig(
+            radius=10.0, time_gap=4.0, num_submap_keyframes=5,
+            voxel_res=0.3, submap_points=16384,
+        ),
+        pgo_cfg=PoseGraphConfig(max_keyframes=128, max_between=256, max_gps=64),
+        cfg=EngineConfig(
+            keyframe_threshold=1.0, loop_check_every=chunk,
+            kf_cloud_points=4096, kf_cloud_voxel=0.3,
+        ),
+    )
+
+
+def _run_pipeline(engine, feed, gps_fixes=None):
+    """One full engine run over pre-staged chunks; returns wall seconds."""
+    from fastliosam_tpu.core import se3  # noqa: F401  (engine dep warm)
+
+    t0 = time.perf_counter()
+    for (scans, imus, stamps, dt, lo, hi) in feed:
+        fixes = None
+        if gps_fixes is not None:
+            fixes = [f for f in gps_fixes if lo <= f.stamp < hi]
+        engine.process_chunk(scans, imus, stamps, dt, gps=fixes)
+    engine.finish()
+    return time.perf_counter() - t0
+
+
+def bench_pipeline(chunk=5):
+    """Full SlamEngine throughput: odometry + on-device keyframing + loop
+    detection/ICP verification + PGO solves, all active (the whole live
+    path `fast_lio_sam.cpp:367-573,682-730`). Feed is the self-intersecting
+    figure-8 so loops genuinely fire. One warm run compiles; the timed run
+    reuses the jitted programs via engine.reset()."""
+    import jax.numpy as jnp
+
+    from fastliosam_tpu.odom import ImuBatch, Scan
+
+    data = _cached(PIPE_CACHE, build_fig8_sequence)
+    engine = make_engine_for(data, chunk=chunk)
+    xyz, toff, mask = pad_scans(data)
+    S = xyz.shape[0]
+    stamps_all = np.asarray(data["stamps"], np.float64)
+    dt = float(data["scan_dt"])
+
+    # pre-stage device chunks (the timed region measures the pipeline, not
+    # host np->device feeding; run_slam.py measures the streaming case)
+    feed = []
+    for c in range(0, S - (S % chunk), chunk):
+        sl = slice(c, c + chunk)
+        scans = Scan(
+            xyz=jnp.asarray(xyz[sl]), t_offset=jnp.asarray(toff[sl]),
+            mask=jnp.asarray(mask[sl]),
+        )
+        imus = ImuBatch(
+            stamps=jnp.asarray(data["imu_t"][sl]),
+            gyro=jnp.asarray(data["imu_g"][sl]),
+            acc=jnp.asarray(data["imu_a"][sl]),
+            mask=jnp.asarray(data["imu_m"][sl]),
+        )
+        feed.append(
+            (scans, imus, stamps_all[sl], dt,
+             float(stamps_all[sl][0]) - dt, float(stamps_all[sl][-1]))
+        )
+    n_fed = len(feed) * chunk
+
+    def init_engine():
+        engine.reset()
+        engine.odom = engine.odom._replace(
+            nav=engine.odom.nav._replace(
+                R=jnp.asarray(data["R0"], jnp.float32),
+                p=jnp.asarray(data["p0"], jnp.float32),
+                v=jnp.asarray(data["v0"], jnp.float32),
+            )
+        )
+
+    init_engine()
+    _run_pipeline(engine, feed)  # warm/compile
+    warm_loops = len(engine.loop_pairs)
+
+    init_engine()
+    elapsed = _run_pipeline(engine, feed)
+    sps = n_fed / elapsed
+
+    rt = np.stack(engine.realtime_traj)[:, :3, 3]
+    raw = np.stack(engine.raw_traj)[:, :3, 3]
+    gt = data["gt_p"][:n_fed]
+    ate_rt, rpe_rt = _ate_rpe(rt, gt, dt)
+    ate_raw, _ = _ate_rpe(raw, gt, dt)
+    assert len(engine.loop_pairs) == warm_loops, "non-deterministic rerun"
+    return {
+        "pipeline_scans_per_sec": round(sps, 2),
+        "pipeline_ate_m": round(ate_rt, 4),
+        "pipeline_rpe_1s_m": round(rpe_rt, 4),
+        "odom_only_ate_m": round(ate_raw, 4),
+        "pipeline_loops": len(engine.loop_pairs),
+        "pipeline_solves": engine.solve_count,
+        "pipeline_keyframes": engine.kf.n,
+    }, engine, feed, data
+
+
+def bench_gps_degraded(engine, feed, data):
+    """GPS fusion under degraded fixes: the middle third of the run reports
+    inflated covariance (> gps_cov_thres) and must be gated out."""
+    import jax.numpy as jnp
+
+    from fastliosam_tpu.core.geodesy import LocalCartesian
+    from fastliosam_tpu.runtime import GpsFix
+
+    anchor = (22.3193, 114.1694, 10.0)
+    lc = LocalCartesian.from_origin(*anchor)
+    ts = data["gps_t"]
+    xyz = data["gps_xyz"]
+    fixes = []
+    n = len(ts)
+    for i in range(n):
+        lat, lon, alt = lc.reverse(jnp.asarray(xyz[i], jnp.float32))
+        bad = n // 3 <= i < 2 * n // 3
+        cov = (9.0, 9.0, 16.0) if bad else (0.25, 0.25, 1.0)
+        fixes.append(
+            GpsFix(stamp=float(ts[i]), lat=float(lat), lon=float(lon),
+                   alt=float(alt), cov_xyz=cov)
+        )
+    engine.reset()
+    engine.cfg = engine.cfg._replace(use_gps=True, gps_dist_thres=2.0)
+    engine.odom = engine.odom._replace(
+        nav=engine.odom.nav._replace(
+            R=jnp.asarray(data["R0"], jnp.float32),
+            p=jnp.asarray(data["p0"], jnp.float32),
+            v=jnp.asarray(data["v0"], jnp.float32),
+        )
+    )
+    _run_pipeline(engine, feed, gps_fixes=fixes)
+    rt = np.stack(engine.realtime_traj)[:, :3, 3]
+    gt = data["gt_p"][: len(rt)]
+    ate, _ = _ate_rpe(rt, gt, float(data["scan_dt"]))
+    return {
+        "gps_degraded_ate_m": round(ate, 4),
+        "gps_factors_added": int(engine.graph.n_gps),
+        "gps_fixes_offered": len(fixes),
+    }
 
 
 def bench_pgo():
@@ -264,31 +568,69 @@ def main():
     backend = jax.default_backend()
     t_start = time.perf_counter()
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "1500"))
-    data = get_sequence()
-    scans_per_sec, ate, matched = bench_odometry(data)
 
-    # secondary metrics are best-effort inside the time budget — the
-    # primary JSON line must always be printed (first compiles on the
+    def left():
+        return budget_s - (time.perf_counter() - t_start)
+
+    data = get_sequence()
+    scans_per_sec, ate, rpe, matched, ctx = bench_odometry(data)
+    extras = {
+        "odom_scans_per_sec": round(scans_per_sec, 2),
+        "odom_ate_m": round(ate, 4),
+        "odom_rpe_1s_m": round(rpe, 4),
+    }
+
+    # full-pipeline benchmark (odometry + keyframes + loops + PGO active):
+    # the primary system metric (VERDICT r1 #1). Best-effort with fallback
+    # to odometry-only as the primary if it fails.
+    pipe = None
+    try:
+        if left() > 120:
+            pipe, engine, feed, pdata = bench_pipeline()
+            extras.update(pipe)
+    except Exception as e:  # pragma: no cover
+        print(f"# bench_pipeline failed: {e}", file=sys.stderr)
+
+    # secondary metrics, best-effort inside the time budget — the primary
+    # JSON line must always be printed (first compiles on the
     # remote-compile TPU path can take minutes each)
-    pgo_ms = icp_ms = -1.0
-    try:
-        if time.perf_counter() - t_start < budget_s:
-            pgo_ms, pgo_cost = bench_pgo()
-    except Exception as e:  # pragma: no cover
-        print(f"# bench_pgo failed: {e}", file=sys.stderr)
-    try:
-        if time.perf_counter() - t_start < budget_s:
-            icp_ms, icp_fit = bench_loop_icp()
-    except Exception as e:  # pragma: no cover
-        print(f"# bench_loop_icp failed: {e}", file=sys.stderr)
+    for name, fn in (
+        ("pgo", lambda: {"pgo_solve_ms_512kf": round(bench_pgo()[0], 2)}),
+        ("loop_icp",
+         lambda: {"loop_icp_ms_50it_16k": round(bench_loop_icp()[0], 2)}),
+        ("no_gt_init",
+         lambda: dict(zip(("no_init_ate_m", "no_init_rpe_1s_m"),
+                          (round(v, 4) for v in bench_no_gt_init(ctx, data))))),
+        ("gps_degraded",
+         lambda: bench_gps_degraded(engine, feed, pdata) if pipe else {}),
+        ("livox",
+         lambda: dict(zip(("livox_scans_per_sec", "livox_ate_m"),
+                          (round(v, 3) for v in bench_livox(left()))))),
+    ):
+        try:
+            if left() > 60:
+                extras.update(fn())
+        except Exception as e:  # pragma: no cover
+            print(f"# bench_{name} failed: {e}", file=sys.stderr)
+
+    if pipe is not None:
+        primary = {
+            "metric": "pipeline_scans_per_sec_per_chip",
+            "value": pipe["pipeline_scans_per_sec"],
+            "unit": "scans/s",
+            # implicit reference target: real-time at the 10 Hz sensor rate
+            "vs_baseline": round(pipe["pipeline_scans_per_sec"] / 10.0, 2),
+        }
+    else:
+        primary = {
+            "metric": "odom_scans_per_sec_per_chip",
+            "value": round(scans_per_sec, 2),
+            "unit": "scans/s",
+            "vs_baseline": round(scans_per_sec / 10.0, 2),
+        }
     result = {
-        "metric": "odom_scans_per_sec_per_chip",
-        "value": round(scans_per_sec, 2),
-        "unit": "scans/s",
-        "vs_baseline": round(scans_per_sec / 10.0, 2),
-        "ate_m": round(ate, 4),
-        "pgo_solve_ms_512kf": round(pgo_ms, 2),
-        "loop_icp_ms_50it_16k": round(icp_ms, 2),
+        **primary,
+        **extras,
         "backend": backend,
         "n_scans": N_SCANS + N_WARM,
         "raw_pts_per_scan": RAW_PTS,

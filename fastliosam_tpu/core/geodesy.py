@@ -169,7 +169,9 @@ HK1980 = TransverseMercatorCRS(
     f=INTL1924_F,
 )
 
-_HK1980_SHIFT = jnp.array([-162.619, -276.959, -161.764])
+# plain tuple: a module-level jnp.array would initialize the XLA backend at
+# import time, breaking jax.distributed.initialize() in multi-process runs
+_HK1980_SHIFT = (-162.619, -276.959, -161.764)
 
 
 def wgs84_to_hk1980(lat_deg, lon_deg, alt=0.0):
@@ -178,7 +180,7 @@ def wgs84_to_hk1980(lat_deg, lon_deg, alt=0.0):
     Uses the 3-parameter geocentric datum shift then the HK1980 TM grid.
     Returns (easting, northing).
     """
-    ecef = geodetic_to_ecef(lat_deg, lon_deg, alt) + _HK1980_SHIFT
+    ecef = geodetic_to_ecef(lat_deg, lon_deg, alt) + jnp.asarray(_HK1980_SHIFT)
     # geodetic on Hayford ellipsoid
     x, y, z = ecef[..., 0], ecef[..., 1], ecef[..., 2]
     e2 = INTL1924_F * (2.0 - INTL1924_F)

@@ -60,19 +60,24 @@ def nearest_neighbors(src, dst, dst_mask, chunk: int = 2048):
     return best_idx, jnp.maximum(best_d2, 0.0)
 
 
-def _horn_quat(P, Q, w):
-    """Weighted absolute orientation: find R, t minimizing Σw‖R p + t − q‖².
+def horn_moments(P, Q, w):
+    """Sufficient statistics of the weighted Horn problem: 16 floats
+    ``(Sw, Sp (3), Sq (3), Spq (3,3))`` that sum across data shards — the
+    distributed ICP path psums exactly these (`parallel/sharded_loop.py`)."""
+    Sw = jnp.sum(w)
+    Sp = jnp.sum(P * w[:, None], axis=0)
+    Sq = jnp.sum(Q * w[:, None], axis=0)
+    Spq = (P * w[:, None]).T @ Q  # (3,3) raw cross-moment — MXU
+    return Sw, Sp, Sq, Spq
 
-    Horn's quaternion method; the dominant eigenvector of the 4×4 N-matrix
-    is extracted with a shifted power iteration (Gershgorin shift makes the
-    target eigenvalue the largest in magnitude).
-    """
-    wsum = jnp.maximum(jnp.sum(w), 1e-6)
-    mu_p = jnp.sum(P * w[:, None], axis=0) / wsum
-    mu_q = jnp.sum(Q * w[:, None], axis=0) / wsum
-    Pc = P - mu_p
-    Qc = Q - mu_q
-    S = (Pc * w[:, None]).T @ Qc  # (3,3) cross-covariance — MXU
+
+def horn_from_moments(Sw, Sp, Sq, Spq):
+    """Solve Horn's absolute orientation from summed moments."""
+    wsum = jnp.maximum(Sw, 1e-6)
+    mu_p = Sp / wsum
+    mu_q = Sq / wsum
+    # centered cross-covariance from raw moments
+    S = Spq - jnp.outer(Sp, Sq) / wsum
     tr = jnp.trace(S)
     A = S - S.T
     delta = jnp.array([A[1, 2], A[2, 0], A[0, 1]])
@@ -94,6 +99,16 @@ def _horn_quat(P, Q, w):
     R = so3.quat_to_matrix(q)
     t = mu_q - R @ mu_p
     return R, t
+
+
+def _horn_quat(P, Q, w):
+    """Weighted absolute orientation: find R, t minimizing Σw‖R p + t − q‖².
+
+    Horn's quaternion method; the dominant eigenvector of the 4×4 N-matrix
+    is extracted with a shifted power iteration (Gershgorin shift makes the
+    target eigenvalue the largest in magnitude).
+    """
+    return horn_from_moments(*horn_moments(P, Q, w))
 
 
 @geometry_precision

@@ -2,3 +2,8 @@ from .mesh import make_mesh, shard_leading, replicate  # noqa: F401
 from .sharded_pgo import solve_sharded  # noqa: F401
 from .sharded_match import sharded_gram  # noqa: F401
 from .distributed import init_distributed, global_mesh  # noqa: F401
+from .sharded_loop import (  # noqa: F401
+    detect_sharded,
+    gather_submap_sharded,
+    icp_align_sharded,
+)

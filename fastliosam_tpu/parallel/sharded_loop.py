@@ -1,0 +1,181 @@
+"""Keyframe-axis sharding for loop closure (the SP/long-sequence axis).
+
+The reference's loop pipeline has three single-host scaling pain points
+(SURVEY.md §2.3): the O(N) candidate scan (`loop_closure.cpp:18-40`), the
+unbounded in-RAM keyframe clouds (`fast_lio_sam.h:76`), and the submap ICP.
+Here all three shard across the device mesh:
+
+* ``detect_sharded`` — keyframe positions/stamps sharded along ``kf``; each
+  device scans its shard, the (min-dist, idx) pair is combined with one
+  tiny ``all_gather``. Bit-identical to the replicated
+  :func:`fastliosam_tpu.loop.detect.fetch_closest_keyframe_idx`.
+* ``gather_submap_sharded`` — keyframe *clouds* live sharded along ``kf``
+  (each device stores K/n_dev clouds — the memory story for ~7 km runs);
+  the ±num_submap window around a center index is reassembled with one
+  ``psum`` of a (span, P, 3) buffer (span ≈ 11, so the collective is small).
+* ``icp_align_sharded`` — the submap ICP shards the *source point* axis:
+  each device matches its point shard against the replicated destination
+  and contributes 16 Horn moments + fitness sums via ``psum`` per
+  iteration (`loop/icp.py` horn_moments).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..core import se3
+from ..loop.icp import horn_from_moments, horn_moments, nearest_neighbors
+from ..utils.precision import geometry_precision
+
+_BIG = 1.0e12
+
+
+def detect_sharded(
+    positions,  # (K, 3) keyframe translations, sharded along kf
+    stamps,  # (K,)
+    kf_valid,  # (K,)
+    query_idx,  # scalar int32 (replicated)
+    radius: float,
+    time_gap: float,
+    mesh: Mesh,
+    axis: str = "kf",
+):
+    """Sharded radius+time-gap candidate search. Returns replicated
+    ``(idx, found)`` identical to ``fetch_closest_keyframe_idx``."""
+    n_dev = mesh.shape[axis]
+    K = positions.shape[0]
+    assert K % n_dev == 0, "pad keyframe arrays to a multiple of the mesh"
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis), P(axis), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def f(pos, st, valid, q):
+        Kl = pos.shape[0]
+        gidx = jax.lax.axis_index(axis) * Kl + jnp.arange(Kl)
+        # broadcast the query row to every shard (owner contributes, psum)
+        own_q = gidx == q
+        qpos = jax.lax.psum(
+            jnp.sum(jnp.where(own_q[:, None], pos, 0.0), axis=0), axis
+        )
+        qstamp = jax.lax.psum(jnp.sum(jnp.where(own_q, st, 0.0)), axis)
+        d = jnp.linalg.norm(pos - qpos, axis=-1)
+        ok = valid & (d < radius) & (jnp.abs(qstamp - st) > time_gap)
+        dm = jnp.where(ok, d, jnp.inf)
+        li = jnp.argmin(dm)
+        dmin = dm[li]
+        gmin = gidx[li].astype(jnp.int32)
+        # tiny (n_dev,) gather, replicated argmin
+        ds = jax.lax.all_gather(dmin, axis)
+        gs = jax.lax.all_gather(gmin, axis)
+        w = jnp.argmin(ds)
+        found = jnp.isfinite(ds[w])
+        return jnp.where(found, gs[w], -1), found
+
+    return f(positions, stamps, kf_valid, jnp.asarray(query_idx, jnp.int32))
+
+
+def gather_submap_sharded(
+    kf_clouds,  # (K, P, 3) body-frame clouds, sharded along kf
+    kf_masks,  # (K, P), sharded along kf
+    center_idx,  # scalar int32 (replicated)
+    n_sub: int,  # num_submap_keyframes
+    mesh: Mesh,
+    axis: str = "kf",
+):
+    """Reassemble the ±n_sub keyframe window around ``center_idx`` from the
+    sharded cloud store. Returns replicated ``(span, P, 3)`` clouds and
+    ``(span, P)`` masks (out-of-range slots fully masked) — feed them to the
+    replicated submap/voxelize/ICP path for semantics identical to
+    `loop/closure.py:build_submap`."""
+    n_dev = mesh.shape[axis]
+    K = kf_clouds.shape[0]
+    assert K % n_dev == 0
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None, None), P(axis, None), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def f(clouds, masks, c):
+        Kl = clouds.shape[0]
+        me = jax.lax.axis_index(axis)
+        offs = jnp.arange(-n_sub, n_sub + 1)
+        tgt = c + offs  # (span,) global indices
+        in_range = (tgt >= 0) & (tgt < K)
+        owner = (tgt // Kl) == me
+        li = jnp.clip(tgt - me * Kl, 0, Kl - 1)
+        take = owner & in_range
+        win_c = jnp.where(take[:, None, None], clouds[li], 0.0)
+        win_m = take[:, None] & masks[li]
+        return jax.lax.psum(win_c, axis), jax.lax.psum(
+            win_m.astype(jnp.int32), axis
+        ) > 0
+
+    return f(kf_clouds, kf_masks, jnp.asarray(center_idx, jnp.int32))
+
+
+@geometry_precision
+def icp_align_sharded(
+    src,  # (N, 3) sharded along the point axis
+    src_mask,  # (N,) sharded
+    dst,  # (M, 3) replicated
+    dst_mask,  # (M,) replicated
+    mesh: Mesh,
+    axis: str | None = None,
+    init_T=None,
+    max_iterations: int = 50,
+    max_corr_dist: float = 52.5,
+    nn_chunk: int = 2048,
+):
+    """Point-axis-sharded ICP: per iteration each device finds NNs for its
+    src shard against the full dst and psums the 16 Horn moments; the 4×4
+    Horn eigenproblem is solved replicated. Untrimmed (reference-like, PCL
+    semantics — global trimming would need a distributed k-th order
+    statistic). Returns replicated ``(T, fitness, n_corr)``."""
+    if axis is None:
+        axis = mesh.axis_names[0]
+    if init_T is None:
+        init_T = jnp.eye(4, dtype=jnp.float32)
+    n_dev = mesh.shape[axis]
+    assert src.shape[0] % n_dev == 0
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis), P(), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    def f(srcl, maskl, dstr, dmaskr, T0):
+        def nn(ps):
+            return nearest_neighbors(ps, dstr, dmaskr, nn_chunk)
+
+        def body(T, _):
+            ps = se3.apply(T, srcl[None])[0]
+            nn_idx, nn_d2 = nn(ps)
+            w = (maskl & (nn_d2 < max_corr_dist**2)).astype(jnp.float32)
+            moments = horn_moments(ps, dstr[nn_idx], w)
+            moments = jax.lax.psum(moments, axis)
+            R, t = horn_from_moments(*moments)
+            return se3.compose(se3.make(R, t), T), None
+
+        T, _ = jax.lax.scan(body, T0, None, length=max_iterations)
+        ps = se3.apply(T, srcl[None])[0]
+        nn_idx, nn_d2 = nn(ps)
+        corr = maskl & (nn_d2 < max_corr_dist**2)
+        n_corr = jax.lax.psum(jnp.sum(corr.astype(jnp.int32)), axis)
+        sq = jax.lax.psum(jnp.sum(jnp.where(corr, nn_d2, 0.0)), axis)
+        fitness = sq / jnp.maximum(n_corr.astype(jnp.float32), 1.0)
+        fitness = jnp.where(n_corr > 0, fitness, jnp.inf)
+        return T, fitness, n_corr
+
+    return f(src, src_mask, dst, dst_mask, init_T)

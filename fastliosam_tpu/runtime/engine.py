@@ -134,13 +134,19 @@ class SlamEngine:
         self.pgo_cfg = pgo_cfg
         self.cfg = cfg
 
-        self.odom = init_odom(map_cfg, odom_cfg)
-        self.graph: PoseGraph = make_graph(pgo_cfg)
         # keyframe clouds come from the downsampled odometry cloud, so their
         # budget can never exceed the odometry point budget
         self.kf_points = min(cfg.kf_cloud_points, odom_cfg.num_ds_points)
-        self.kf = KeyframeStore.create(pgo_cfg.max_keyframes, self.kf_points)
+        self.reset()
+        self._build_programs()
 
+    def reset(self):
+        """Reset all mutable pipeline state to a fresh run while keeping the
+        compiled (jitted) programs — lets a benchmark or a multi-sequence
+        driver reuse compilations across runs."""
+        self.odom = init_odom(self.map_cfg, self.odom_cfg)
+        self.graph: PoseGraph = make_graph(self.pgo_cfg)
+        self.kf = KeyframeStore.create(self.pgo_cfg.max_keyframes, self.kf_points)
         self.last_kf_raw = np.eye(4, dtype=np.float32)
         self.last_kf_corrected = np.eye(4, dtype=np.float32)
         self.scan_count = 0
@@ -178,6 +184,9 @@ class SlamEngine:
         self.capture_hook = None
         self._dist_since_capture = 0.0
 
+    def _build_programs(self):
+        """Create the jitted programs (once, at construction)."""
+        cfg = self.cfg
         self._jit_odom = jax.jit(
             lambda s, scan, imu, dt: odom_step(
                 s, scan, imu, dt, self.odom_cfg, self.map_cfg
@@ -291,7 +300,17 @@ class SlamEngine:
             carry0 = (odom, graph, kf_clouds, kf_masks, kf_raw_poses,
                       kf_stamps, kf_n, last_raw, last_corr)
             carry, outs = jax.lax.scan(step, carry0, (scans, imus, stamps))
-            return carry, outs
+            # fused loop-candidate detection at the chunk boundary — comes
+            # back with the chunk readback, so the loop cadence costs no
+            # extra dispatch (positions are pre-solve, like the reference's
+            # loop thread reading whatever poses are current)
+            graph_f, kstamps_f, kf_n_f = carry[1], carry[5], carry[6]
+            cand, found = fetch_closest_keyframe_idx(
+                se3.trans(graph_f.poses), kstamps_f, graph_f.kf_valid,
+                jnp.maximum(kf_n_f - 1, 0),
+                self.loop_cfg.radius, self.loop_cfg.time_gap,
+            )
+            return carry, outs, cand, found
 
         self._jit_chunk = jax.jit(
             _chunk_rollout, donate_argnums=(0, 1, 2, 3, 4, 5)
@@ -385,7 +404,7 @@ class SlamEngine:
             self._grow_between()
 
         stamps = jnp.asarray(np.asarray(stamps, np.float32))
-        carry, (raw_Ts, corr_Ts, is_kf, n_matched) = self._jit_chunk(
+        carry, (raw_Ts, corr_Ts, is_kf, n_matched), cand, found = self._jit_chunk(
             self.odom, self.graph, self.kf.clouds, self.kf.masks,
             self.kf.raw_poses, self.kf.stamps,
             jnp.int32(self.kf.n),
@@ -437,9 +456,15 @@ class SlamEngine:
                 kf_counter += 1
         self.scan_count += S
 
-        # loop cadence + solve at the chunk boundary
-        if self.kf.n > 1:
-            self._attempt_loop()
+        # loop cadence + solve at the chunk boundary: the candidate came
+        # back fused with the chunk outputs; only the ICP verification (and
+        # only when a candidate exists) costs an extra (async) dispatch
+        self._resolve_pending_loop()
+        k = self.kf.n
+        if k > 1 and k - 1 > self._loop_processed_kf:
+            self._loop_processed_kf = k - 1
+            if bool(found):
+                self._launch_verify(k - 1, int(cand))
         if self._needs_solve:
             self._solve()
         return corr_np
@@ -554,18 +579,20 @@ class SlamEngine:
         )
         if not bool(found):
             return
-        cand = int(idx)
+        self._launch_verify(k - 1, int(idx))
+
+    def _launch_verify(self, query: int, cand: int):
         out = self._jit_verify(
             self.kf.clouds,
             self.kf.masks,
             self.graph.poses,
             self.graph.kf_valid,
-            jnp.int32(k - 1),
+            jnp.int32(query),
             jnp.int32(cand),
         )
         # async: don't force the result now; JAX dispatch lets the ICP run
         # (optionally on another device) while odometry continues
-        self._pending_loop = (k - 1, cand, out)
+        self._pending_loop = (query, cand, out)
 
     def _resolve_pending_loop(self):
         pending = getattr(self, "_pending_loop", None)

@@ -151,6 +151,17 @@ def load_checkpoint(engine: SlamEngine, path: str) -> SlamEngine:
     engine.realtime_traj = list(blob["rt.realtime_traj"])
     engine.scan_stamps = list(blob["rt.scan_stamps"])
     engine.solve_count = int(blob["rt.solve_count"])
-    if len(engine.realtime_traj):
-        engine._last_p = engine.realtime_traj[-1][:3, 3]
+    if len(engine.raw_traj):
+        # process() measures step distance in the raw odometry frame
+        engine._last_p = np.asarray(engine.raw_traj[-1])[:3, 3]
+    # derived host-side state: factor counters for the capacity policy,
+    # loop dedup watermark, and capacities that may have grown before save
+    engine._n_bt_host = int(engine.graph.n_bt)
+    engine._n_gps_host = int(engine.graph.n_gps)
+    engine._loop_processed_kf = max(engine.kf.n - 1, 0)
+    engine.pgo_cfg = engine.pgo_cfg._replace(
+        max_keyframes=int(engine.graph.poses.shape[0]),
+        max_between=int(engine.graph.bt_i.shape[0]),
+        max_gps=int(engine.graph.gps_idx.shape[0]),
+    )
     return engine

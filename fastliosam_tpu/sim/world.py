@@ -134,6 +134,32 @@ class Trajectory:
 
         return Trajectory(pose_fn=pose)
 
+    @staticmethod
+    def figure8(scale=10.0, period=60.0, z_amp=0.3) -> "Trajectory":
+        """Lemniscate of Gerono: the path self-intersects at the origin
+        twice per period, so a multi-lap sequence produces genuine loop
+        closures with crossing headings (the adversarial PGO feed)."""
+        w = 2 * np.pi / period
+
+        def pose(t):
+            a = w * t
+            p = np.array(
+                [
+                    scale * np.sin(a),
+                    0.5 * scale * np.sin(2 * a),
+                    1.5 + z_amp * np.sin(3 * a),
+                ]
+            )
+            # heading along the tangent
+            dx = scale * w * np.cos(a)
+            dy = scale * w * np.cos(2 * a)
+            yaw = np.arctan2(dy, dx)
+            cy, sy = np.cos(yaw), np.sin(yaw)
+            Rz = np.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1.0]])
+            return Rz, p
+
+        return Trajectory(pose_fn=pose)
+
     def pose(self, t):
         return self.pose_fn(t)
 

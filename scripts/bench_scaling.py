@@ -73,9 +73,65 @@ def time_solve(g, cfg, mesh):
     return (time.perf_counter() - t0) / reps, float(cost)
 
 
+def time_loop_icp(n_pts, mesh):
+    """Point-axis-sharded loop-verification ICP (16k submaps, 50 iters)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fastliosam_tpu.parallel import icp_align_sharded
+
+    rng = np.random.default_rng(1)
+    base = rng.uniform(-40, 40, size=(n_pts, 3)).astype(np.float32)
+    base[:, 2] = np.sin(base[:, 0] * 0.3) + 0.1 * base[:, 1]
+    src = jnp.asarray(base + np.array([1.5, -1.0, 0.3], np.float32))
+    dst = jnp.asarray(base)
+    mask = jnp.ones((n_pts,), bool)
+    f = jax.jit(
+        lambda s, d: icp_align_sharded(
+            s, mask, d, mask, mesh, max_iterations=50, max_corr_dist=52.5
+        )
+    )
+    T, fit, nc = f(src, dst)
+    fit.block_until_ready()
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        T, fit, nc = f(src, dst)
+        fit.block_until_ready()
+    return (time.perf_counter() - t0) / reps, float(fit)
+
+
+def time_detect(K, mesh):
+    """Keyframe-axis-sharded loop-candidate search over K keyframes."""
+    import jax
+    import jax.numpy as jnp
+
+    from fastliosam_tpu.parallel import detect_sharded
+
+    rng = np.random.default_rng(2)
+    pos = jnp.asarray(rng.uniform(-500, 500, size=(K, 3)), jnp.float32)
+    stamps = jnp.asarray(np.arange(K) * 0.5, jnp.float32)
+    valid = jnp.ones((K,), bool)
+    f = jax.jit(
+        lambda p, q: detect_sharded(
+            p, stamps, valid, q, radius=35.0, time_gap=30.0, mesh=mesh
+        )
+    )
+    i, fo = f(pos, jnp.int32(K - 1))
+    fo.block_until_ready()
+    reps = 20
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        i, fo = f(pos, jnp.int32(K - 1))
+        fo.block_until_ready()
+    return (time.perf_counter() - t0) / reps, int(i)
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--keyframes", type=int, default=2048)
+    ap.add_argument("--what", choices=("pgo", "loop", "all"), default="all")
+    ap.add_argument("--icp-points", type=int, default=16384)
     ap.add_argument("--devices", type=int, nargs="*", default=None,
                     help="device counts to sweep (default: 1,2,...,all)")
     ap.add_argument("--cpu", type=int, default=0, metavar="N",
@@ -116,27 +172,47 @@ def main():
     )
     g = build_graph(cfg, K)
 
-    rows = []
-    t1 = None
-    for n in sweep:
-        mesh = Mesh(np.asarray(devs[:n]), ("kf",))
-        dt, cost = time_solve(g, cfg, mesh)
-        if t1 is None:
-            t1 = dt
-        eff = t1 / (dt * n)
-        rows.append({"devices": n, "solve_ms": round(dt * 1e3, 2),
-                     "speedup": round(t1 / dt, 3),
-                     "efficiency": round(eff, 3), "cost": round(cost, 4)})
-        print(f"  {n} dev: {dt*1e3:8.2f} ms  speedup {t1/dt:5.2f}x  "
-              f"efficiency {eff:.2f}", file=sys.stderr)
-
-    print(json.dumps({
-        "metric": "pgo_scaling_efficiency",
+    out = {
         "keyframes": K,
+        "icp_points": args.icp_points,
         "backend": jax.default_backend(),
         "virtual_devices": jax.default_backend() == "cpu",
-        "sweep": rows,
-    }))
+        # virtual CPU devices time-share the host cores: with host_cores <
+        # devices the sweep validates the sharded programs end-to-end but
+        # CANNOT show real speedup (all devices contend for the same
+        # cores); treat efficiencies as a correctness artifact there
+        "host_cores": os.cpu_count(),
+    }
+
+    def run_sweep(label, timer):
+        rows = []
+        t1 = None
+        for n in sweep:
+            mesh = Mesh(np.asarray(devs[:n]), ("kf",))
+            dt, aux = timer(mesh)
+            if t1 is None:
+                t1 = dt
+            eff = t1 / (dt * n)
+            rows.append({"devices": n, "ms": round(dt * 1e3, 2),
+                         "speedup": round(t1 / dt, 3),
+                         "efficiency": round(eff, 3)})
+            print(f"  [{label}] {n} dev: {dt*1e3:8.2f} ms  "
+                  f"speedup {t1/dt:5.2f}x  efficiency {eff:.2f}",
+                  file=sys.stderr)
+        return rows
+
+    if args.what in ("pgo", "all"):
+        out["pgo_solve"] = run_sweep(
+            "pgo", lambda mesh: time_solve(g, cfg, mesh)
+        )
+    if args.what in ("loop", "all"):
+        out["loop_icp"] = run_sweep(
+            "loop-icp", lambda mesh: time_loop_icp(args.icp_points, mesh)
+        )
+        out["loop_detect"] = run_sweep(
+            "detect", lambda mesh: time_detect(max(K, 4096), mesh)
+        )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -84,19 +84,48 @@ def run_sim(args, engine):
     sim_cfg = SimConfig(n_azimuth=1024, n_elev=16, time_groups=32, seed=1)
     data = simulate_sequence(world, traj, sim_cfg, n_scans=args.n_scans)
     cap = 64
-    t0 = time.perf_counter()
-    for k in range(args.n_scans):
-        pts, toff, mask = data["scans"][k]
+
+    def pad_imu(k):
         ts, gy, ac = data["imu"][k]
         n = len(ts)
-        imu = ImuBatch(
-            stamps=jnp.asarray(np.pad(ts, (0, cap - n), constant_values=1e9)),
-            gyro=jnp.asarray(np.pad(gy, ((0, cap - n), (0, 0)))),
-            acc=jnp.asarray(np.pad(ac, ((0, cap - n), (0, 0)))),
-            mask=jnp.asarray(np.arange(cap) < n),
+        return (
+            np.pad(ts, (0, cap - n), constant_values=1e9),
+            np.pad(gy, ((0, cap - n), (0, 0))),
+            np.pad(ac, ((0, cap - n), (0, 0))),
+            np.arange(cap) < n,
         )
-        scan = Scan(jnp.asarray(pts), jnp.asarray(toff), jnp.asarray(mask))
-        engine.process(scan, imu, data["stamps"][k], data["scan_dt"])
+
+    t0 = time.perf_counter()
+    chunk = max(1, args.chunk)
+    if chunk > 1:
+        # chunked path: S scans per device dispatch, keyframe decisions on
+        # device (one host sync per chunk)
+        for c in range(0, args.n_scans, chunk):
+            ks = range(c, min(c + chunk, args.n_scans))
+            scans = Scan(
+                xyz=jnp.asarray(np.stack([data["scans"][k][0] for k in ks])),
+                t_offset=jnp.asarray(np.stack([data["scans"][k][1] for k in ks])),
+                mask=jnp.asarray(np.stack([data["scans"][k][2] for k in ks])),
+            )
+            imu_np = [pad_imu(k) for k in ks]
+            imus = ImuBatch(
+                stamps=jnp.asarray(np.stack([i[0] for i in imu_np])),
+                gyro=jnp.asarray(np.stack([i[1] for i in imu_np])),
+                acc=jnp.asarray(np.stack([i[2] for i in imu_np])),
+                mask=jnp.asarray(np.stack([i[3] for i in imu_np])),
+            )
+            stamps = [data["stamps"][k] for k in ks]
+            engine.process_chunk(scans, imus, stamps, data["scan_dt"])
+    else:
+        for k in range(args.n_scans):
+            ts_p, gy_p, ac_p, m_p = pad_imu(k)
+            imu = ImuBatch(
+                stamps=jnp.asarray(ts_p), gyro=jnp.asarray(gy_p),
+                acc=jnp.asarray(ac_p), mask=jnp.asarray(m_p),
+            )
+            pts, toff, mask = data["scans"][k]
+            scan = Scan(jnp.asarray(pts), jnp.asarray(toff), jnp.asarray(mask))
+            engine.process(scan, imu, data["stamps"][k], data["scan_dt"])
     dt = time.perf_counter() - t0
     gt = np.stack([g[1] for g in data["gt"]])
     est = np.stack(engine.realtime_traj)[:, :3, 3]
@@ -370,6 +399,11 @@ def main():
     ap.add_argument("--seq", default="07")
     ap.add_argument("--out", default="out/run")
     ap.add_argument("--n-scans", type=int, default=200)
+    ap.add_argument(
+        "--chunk", type=int, default=1,
+        help="scans per device dispatch (sim dataset): >1 uses the chunked "
+        "engine path with on-device keyframe decisions",
+    )
     ap.add_argument("--scan-capacity", type=int, default=131072)
     ap.add_argument("--use-gps", action="store_true")
     # FAST-LIO parameter surface (kitti.launch / config.yaml names)

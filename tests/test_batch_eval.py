@@ -24,6 +24,9 @@ from fastliosam_tpu.odom import ImuBatch, Scan, init_odom
 from fastliosam_tpu.odom.pipeline import odom_rollout
 from fastliosam_tpu.sim import PlaneWorld, SimConfig, Trajectory, simulate_sequence
 from tests.test_rollout import MAP_CFG, ODOM_CFG
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def build_seq(seed):

@@ -15,6 +15,8 @@ from fastliosam_tpu.pgo import PoseGraphConfig
 from fastliosam_tpu.runtime import EngineConfig, GpsFix, SlamEngine
 from fastliosam_tpu.sim import PlaneWorld, SimConfig, Trajectory, simulate_sequence
 
+pytestmark = pytest.mark.slow
+
 ANCHOR = (22.3193, 114.1694, 10.0)
 
 

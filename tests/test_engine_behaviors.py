@@ -240,3 +240,26 @@ def test_chunked_capture_hook_and_growth():
         chunked_drive(engine, 16, chunk=4)
     assert engine.kf.n > 4  # grew past the cap of 4
     assert 4 <= len(calls) <= 7
+
+
+def test_checkpoint_restores_counters(tmp_path):
+    """Resume restores capacity counters / dedup watermark / grown caps —
+    a resumed run must keep enforcing no-silent-drop semantics."""
+    from fastliosam_tpu.runtime import load_checkpoint, save_checkpoint
+
+    e1 = tiny_engine()
+    with pytest.warns(UserWarning, match="capacity"):
+        drive(e1, 14)  # grows past the cap of 4
+    p = str(tmp_path / "ck.npz")
+    save_checkpoint(e1, p)
+    e2 = tiny_engine()
+    load_checkpoint(e2, p)
+    assert e2._n_bt_host == e1._n_bt_host == int(e1.graph.n_bt)
+    assert e2._loop_processed_kf == e2.kf.n - 1
+    assert e2.pgo_cfg.max_keyframes == e1.pgo_cfg.max_keyframes
+    # resumed engine keeps processing + growing without silent drops
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        drive(e2, 10)
+    assert int(e2.graph.n_bt) == e2._n_bt_host == e2.kf.n - 1

@@ -11,6 +11,8 @@ from fastliosam_tpu.runtime import MapLocalizer, save_results
 from fastliosam_tpu.sim import PlaneWorld, SimConfig, Trajectory, simulate_sequence
 from tests.test_engine import make_engine, run_engine
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def built_map(tmp_path_factory):

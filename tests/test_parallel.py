@@ -65,3 +65,78 @@ def test_sharded_gram_matches_dense(rng):
     np.testing.assert_allclose(np.asarray(G), G_ref, rtol=1e-4, atol=1e-3)
     np.testing.assert_allclose(np.asarray(b), b_ref, rtol=1e-4, atol=1e-3)
     assert int(nv) == int(np.sum(np.asarray(w) > 0))
+
+
+def test_detect_sharded_matches_replicated(rng):
+    from fastliosam_tpu.loop.detect import fetch_closest_keyframe_idx
+    from fastliosam_tpu.parallel import detect_sharded
+
+    K = 64
+    pos = jnp.asarray(rng.uniform(-40, 40, size=(K, 3)), jnp.float32)
+    stamps = jnp.asarray(np.arange(K) * 0.7, jnp.float32)
+    valid = jnp.asarray(np.arange(K) < 50)
+    mesh = make_mesh(8)
+    for q in (49, 30, 5):
+        i_ref, f_ref = fetch_closest_keyframe_idx(
+            pos, stamps, valid, q, radius=30.0, time_gap=10.0
+        )
+        i_sh, f_sh = detect_sharded(
+            pos, stamps, valid, q, radius=30.0, time_gap=10.0, mesh=mesh
+        )
+        assert bool(f_sh) == bool(f_ref)
+        assert int(i_sh) == int(i_ref)
+
+
+def test_gather_submap_sharded(rng):
+    from fastliosam_tpu.parallel import gather_submap_sharded
+
+    K, P = 32, 64
+    clouds = jnp.asarray(rng.normal(size=(K, P, 3)), jnp.float32)
+    masks = jnp.asarray(rng.random((K, P)) > 0.3)
+    mesh = make_mesh(8)
+    n_sub = 3
+    for c in (0, 15, 31):
+        win_c, win_m = gather_submap_sharded(clouds, masks, c, n_sub, mesh)
+        offs = np.arange(-n_sub, n_sub + 1)
+        for s, o in enumerate(offs):
+            t = c + o
+            if 0 <= t < K:
+                np.testing.assert_allclose(
+                    np.asarray(win_c[s]), np.asarray(clouds[t]), atol=1e-6
+                )
+                np.testing.assert_array_equal(
+                    np.asarray(win_m[s]), np.asarray(masks[t])
+                )
+            else:
+                assert not np.asarray(win_m[s]).any()
+
+
+def test_icp_sharded_matches_replicated(rng):
+    from fastliosam_tpu.loop.icp import icp_align
+    from fastliosam_tpu.parallel import icp_align_sharded
+
+    n = 1024
+    base = rng.uniform(-20, 20, size=(n, 3)).astype(np.float32)
+    base[:, 2] = np.sin(base[:, 0] * 0.4) + 0.2 * base[:, 1]
+    ang = 0.05
+    R = np.array(
+        [[np.cos(ang), -np.sin(ang), 0], [np.sin(ang), np.cos(ang), 0],
+         [0, 0, 1.0]], np.float32,
+    )
+    src = jnp.asarray(base @ R.T + np.array([0.8, -0.5, 0.2], np.float32))
+    dst = jnp.asarray(base)
+    mask = jnp.ones((n,), bool)
+    T_ref, fit_ref, nc_ref = icp_align(
+        src, mask, dst, mask, max_iterations=30, max_corr_dist=10.0,
+        nn_chunk=256, trim_fraction=1.0,
+    )
+    mesh = make_mesh(8)
+    T_sh, fit_sh, nc_sh = icp_align_sharded(
+        src, mask, dst, mask, mesh, max_iterations=30, max_corr_dist=10.0,
+        nn_chunk=256,
+    )
+    assert int(nc_sh) == int(nc_ref)
+    assert abs(float(fit_sh) - float(fit_ref)) < 1e-5
+    np.testing.assert_allclose(np.asarray(T_sh), np.asarray(T_ref), atol=1e-4)
+    # and it actually aligned
+    assert float(fit_sh) < 1e-3

@@ -7,6 +7,9 @@ from fastliosam_tpu.map import VoxelMapConfig
 from fastliosam_tpu.odom import ImuBatch, OdomConfig, Scan, init_odom, odom_step
 from fastliosam_tpu.odom.pipeline import odom_rollout
 from fastliosam_tpu.sim import PlaneWorld, SimConfig, Trajectory, simulate_sequence
+import pytest
+
+pytestmark = pytest.mark.slow
 
 MAP_CFG = VoxelMapConfig(capacity=1 << 14, voxel_size=0.5, min_points=4)
 ODOM_CFG = OdomConfig(
