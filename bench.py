@@ -565,6 +565,12 @@ def bench_loop_icp():
 def main():
     import jax
 
+    # BENCH_PLATFORM=cpu forces the CPU backend for reference-baseline
+    # measurement (a plain JAX_PLATFORMS env var is overridden by the
+    # container's sitecustomize)
+    plat = os.environ.get("BENCH_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
     backend = jax.default_backend()
     t_start = time.perf_counter()
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "1500"))

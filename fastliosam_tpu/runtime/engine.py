@@ -615,9 +615,12 @@ class SlamEngine:
         self._needs_solve = False
         k = self.kf.n
         # feedback: re-anchor realtime correction at the latest keyframe
-        # (fast_lio_sam.cpp:515-537 corrected-estimate readback)
-        self.last_kf_corrected = np.asarray(self.graph.poses[k - 1])
-        self.last_kf_raw = np.asarray(self.kf.raw_poses[k - 1])
+        # (fast_lio_sam.cpp:515-537 corrected-estimate readback). Kept as
+        # lazy device arrays: the chunked path feeds them straight into the
+        # next chunk dispatch, so a solve never blocks the host — only the
+        # per-scan path's numpy composition forces the transfer.
+        self.last_kf_corrected = self.graph.poses[k - 1]
+        self.last_kf_raw = self.kf.raw_poses[k - 1]
         if self.cfg.use_gps:
             # pose_covariance_ readback (fast_lio_sam.cpp:523) — only the
             # x/y translation marginals feed the GPS gate
