@@ -248,13 +248,15 @@ def make_rollout(data, raw_pts=RAW_PTS, query_mode="merged3", num_ds=8192):
         lambda st, scans, imus: odom_rollout(st, scans, imus, dt, odom_cfg, map_cfg)
     )
 
-    def gt_state():
+    def gt_state(jitter=0.0):
         st = init_odom(map_cfg)
         # start at the true initial pose/velocity (tracking throughput, not
-        # global initialization — the identity_state variant measures that)
+        # global initialization — the identity_state variant measures that).
+        # `jitter` perturbs p by a fraction of a mm so warm and timed runs
+        # never present identical inputs to the relay (DESIGN.md §2b).
         nav = st.nav._replace(
             R=jnp.asarray(data["R0"], jnp.float32),
-            p=jnp.asarray(data["p0"], jnp.float32),
+            p=jnp.asarray(data["p0"], jnp.float32) + jnp.float32(jitter),
             v=jnp.asarray(data["v0"], jnp.float32),
         )
         return st._replace(nav=nav)
@@ -287,7 +289,7 @@ def bench_odometry(data):
     aux["p"].block_until_ready()
 
     t0 = time.perf_counter()
-    st, aux = roll(ctx["gt_state"](), scans, imus)
+    st, aux = roll(ctx["gt_state"](jitter=1e-4), scans, imus)
     aux["p"].block_until_ready()
     elapsed = time.perf_counter() - t0
     scans_per_sec = S / elapsed
@@ -484,6 +486,10 @@ def bench_gps_degraded(engine, feed, data):
 
 
 def bench_pgo():
+    """PGO solve latency. A FRESH graph per rep: the remote-TPU relay
+    caches repeated (executable, input) executions, so identical-input
+    timing loops can measure the cache instead of the device (measured
+    0.2 ms vs the honest 68 ms — see DESIGN.md §2b)."""
     import jax
 
     from fastliosam_tpu.pgo import PoseGraphConfig, from_arrays, solve
@@ -491,42 +497,44 @@ def bench_pgo():
     cfg = PoseGraphConfig(
         max_keyframes=512, max_between=1024, max_gps=128, lm_iters=6, pcg_iters=128
     )
-    rng = np.random.default_rng(0)
-    # noisy circle chain + one loop factor, built host-side (numpy)
     K = 512
-    a = 2 * np.pi / K
-    ca, sa = np.cos(a), np.sin(a)
-    step_T = np.eye(4, dtype=np.float32)
-    step_T[:2, :2] = [[ca, -sa], [sa, ca]]
-    step_T[0, 3] = 0.5
-    poses = [np.eye(4, dtype=np.float32)]
-    rels = []
-    for k in range(1, K):
-        noise = np.eye(4, dtype=np.float32)
-        noise[:3, 3] = rng.normal(size=3) * 0.02
-        rel = step_T @ noise
-        poses.append(poses[-1] @ rel)
-        rels.append(rel)
-    bt_i = np.arange(K - 1)
-    bt_j = np.arange(1, K)
-    si = np.tile(np.asarray([10.0] * 3 + [100.0] * 3, np.float32), (K - 1, 1))
-    # loop factor: last -> first
-    bt_i = np.append(bt_i, K - 1)
-    bt_j = np.append(bt_j, 0)
-    rels.append(np.linalg.inv(poses[-1]).astype(np.float32))
-    si = np.vstack([si, np.asarray([[100.0] * 3 + [1000.0] * 3], np.float32)])
-    g = from_arrays(
-        cfg, np.stack(poses), bt_i=bt_i, bt_j=bt_j, bt_rel=np.stack(rels),
-        bt_sqrt_info=si,
-    )
 
+    def build(seed):
+        rng = np.random.default_rng(seed)
+        a = 2 * np.pi / K
+        ca, sa = np.cos(a), np.sin(a)
+        step_T = np.eye(4, dtype=np.float32)
+        step_T[:2, :2] = [[ca, -sa], [sa, ca]]
+        step_T[0, 3] = 0.5
+        poses = [np.eye(4, dtype=np.float32)]
+        rels = []
+        for k in range(1, K):
+            noise = np.eye(4, dtype=np.float32)
+            noise[:3, 3] = rng.normal(size=3) * 0.02
+            rel = step_T @ noise
+            poses.append(poses[-1] @ rel)
+            rels.append(rel)
+        bt_i = np.arange(K - 1)
+        bt_j = np.arange(1, K)
+        si = np.tile(np.asarray([10.0] * 3 + [100.0] * 3, np.float32), (K - 1, 1))
+        # loop factor: last -> first
+        bt_i = np.append(bt_i, K - 1)
+        bt_j = np.append(bt_j, 0)
+        rels.append(np.linalg.inv(poses[-1]).astype(np.float32))
+        si = np.vstack([si, np.asarray([[100.0] * 3 + [1000.0] * 3], np.float32)])
+        return from_arrays(
+            cfg, np.stack(poses), bt_i=bt_i, bt_j=bt_j, bt_rel=np.stack(rels),
+            bt_sqrt_info=si,
+        )
+
+    reps = 5
+    gs = [build(s) for s in range(reps + 1)]
     solver = jax.jit(lambda g: solve(g, cfg))
-    g2, cost = solver(g)
+    g2, cost = solver(gs[-1])
     cost.block_until_ready()
     t0 = time.perf_counter()
-    reps = 5
-    for _ in range(reps):
-        g2, cost = solver(g)
+    for i in range(reps):
+        g2, cost = solver(gs[i])
         cost.block_until_ready()
     ms = (time.perf_counter() - t0) / reps * 1000.0
     return ms, float(cost)
@@ -540,23 +548,24 @@ def bench_loop_icp():
 
     from fastliosam_tpu.loop.icp import icp_align
 
-    rng = np.random.default_rng(1)
-    base = rng.uniform(-40, 40, size=(16384, 3)).astype(np.float32)
-    base[:, 2] = np.sin(base[:, 0] * 0.3) + 0.1 * base[:, 1]
-    shift = np.array([1.5, -1.0, 0.3], np.float32)
-    src = jnp.asarray(base + shift)
-    dst = jnp.asarray(base)
+    reps = 3
+    pairs = []
+    for s in range(reps + 1):  # fresh inputs per rep (relay cache, §2b)
+        rng = np.random.default_rng(1 + s)
+        base = rng.uniform(-40, 40, size=(16384, 3)).astype(np.float32)
+        base[:, 2] = np.sin(base[:, 0] * 0.3) + 0.1 * base[:, 1]
+        shift = np.array([1.5, -1.0, 0.3], np.float32)
+        pairs.append((jnp.asarray(base + shift), jnp.asarray(base)))
     mask = jnp.ones((16384,), bool)
     f = jax.jit(
         lambda s, d: icp_align(s, mask, d, mask, max_iterations=50,
                                max_corr_dist=52.5, trim_fraction=0.8)
     )
-    T, fit, nc = f(src, dst)
+    T, fit, nc = f(*pairs[-1])
     fit.block_until_ready()
     t0 = time.perf_counter()
-    reps = 3
-    for _ in range(reps):
-        T, fit, nc = f(src, dst)
+    for i in range(reps):
+        T, fit, nc = f(*pairs[i])
         fit.block_until_ready()
     ms = (time.perf_counter() - t0) / reps * 1000
     return ms, float(fit)

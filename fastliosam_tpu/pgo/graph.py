@@ -32,10 +32,13 @@ class PoseGraphConfig(NamedTuple):
     lambda_init: float = 1e-4
     lambda_up: float = 4.0
     lambda_down: float = 0.5
-    # linear stage: "dense" assembles the (6K,6K) normal matrix and solves
-    # with a single MXU-backed factorization — far faster than PCG up to a
-    # few thousand keyframes; "pcg" is matrix-free (the shardable path);
-    # "auto" picks dense for max_keyframes <= 2048
+    # linear stage: "pcg" is the matrix-free block-Jacobi CG (the shardable
+    # path); "dense" assembles the (6K,6K) normal matrix and factorizes.
+    # Measured r02 with fresh inputs + honest sync on BOTH backends, PCG
+    # wins at every size (TPU: 68 vs 95 ms @512kf, 105 vs 306 @1024, dense
+    # fails to compile >=2048; CPU: 95 vs 1653 ms @512) — the r01 belief
+    # that dense was faster traced to a relay result-caching timing
+    # artifact. "auto" therefore = pcg.
     linear_solver: str = "auto"
     # prior noise on node 0 (sqrt information); reference uses a hard prior
     prior_sqrt_info: float = 1e3

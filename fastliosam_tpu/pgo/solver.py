@@ -249,9 +249,9 @@ def solve(g: PoseGraph, cfg: PoseGraphConfig, prior_pose=None):
     if prior_pose is None:
         prior_pose = g.poses[0]
     kf_mask = g.kf_valid[:, None].astype(jnp.float32)
-    use_dense = cfg.linear_solver == "dense" or (
-        cfg.linear_solver == "auto" and g.poses.shape[0] <= 2048
-    )
+    # "auto" = PCG: measured faster than the dense factorization at every
+    # graph size on both TPU and CPU (see PoseGraphConfig.linear_solver)
+    use_dense = cfg.linear_solver == "dense"
 
     def lm_iter(carry, _):
         poses, lam, cost = carry
