@@ -27,6 +27,7 @@ class LoopConfig(NamedTuple):
     voxel_res: float = 0.3  # config.yaml:15
     icp_score_threshold: float = 1.5  # config.yaml:16
     max_iterations: int = 50
+    convergence_eps: float = 0.01  # PCL setTransformationEpsilon analog
     max_corr_factor: float = 1.5  # max corr dist = radius * this
     submap_points: int = 16384  # static budget of each assembled submap
     nn_chunk: int = 2048
@@ -98,6 +99,7 @@ def verify_loop(
         max_corr_dist=cfg.radius * cfg.max_corr_factor,
         nn_chunk=cfg.nn_chunk,
         trim_fraction=cfg.trim_fraction,
+        convergence_eps=cfg.convergence_eps,
     )
     accepted = (fitness < cfg.icp_score_threshold) & (
         n_corr > cfg.min_correspondences

@@ -183,6 +183,11 @@ class SlamEngine:
         # distance-triggered capture hook (fast_lio_sam.cpp:389-407)
         self.capture_hook = None
         self._dist_since_capture = 0.0
+        # chunked-path device residents: the on-device keyframe counter from
+        # the last chunk (None = take it from the host counter) and a cache
+        # of device scan_dt scalars (avoids a host->device upload per chunk)
+        self._kf_n_dev = None
+        self._dt_cache: dict = {}
 
     def _build_programs(self):
         """Create the jitted programs (once, at construction)."""
@@ -310,7 +315,22 @@ class SlamEngine:
                 jnp.maximum(kf_n_f - 1, 0),
                 self.loop_cfg.radius, self.loop_cfg.time_gap,
             )
-            return carry, outs, cand, found
+            # ALL host-facing outputs packed into ONE flat array: on a
+            # remote-attached device every independent device->host fetch is
+            # a full relay round trip (~tens of ms), so the chunk returns a
+            # single buffer the host reads once per chunk
+            raw_Ts, corr_Ts, is_kf, n_matched = outs
+            packed = jnp.concatenate([
+                raw_Ts.reshape(-1),
+                corr_Ts.reshape(-1),
+                is_kf.astype(jnp.float32),
+                n_matched.astype(jnp.float32),
+                jnp.stack([
+                    cand.astype(jnp.float32),
+                    found.astype(jnp.float32),
+                ]),
+            ])
+            return carry, packed
 
         self._jit_chunk = jax.jit(
             _chunk_rollout, donate_argnums=(0, 1, 2, 3, 4, 5)
@@ -403,31 +423,43 @@ class SlamEngine:
         while self._n_bt_host + S > self.pgo_cfg.max_between:
             self._grow_between()
 
-        stamps = jnp.asarray(np.asarray(stamps, np.float32))
-        carry, (raw_Ts, corr_Ts, is_kf, n_matched), cand, found = self._jit_chunk(
+        stamps_np = np.asarray(stamps, np.float32)
+        dt = float(scan_dt)
+        dt_dev = self._dt_cache.get(dt)
+        if dt_dev is None:
+            dt_dev = self._dt_cache[dt] = jnp.float32(dt)
+        kf_n_dev = (
+            self._kf_n_dev if self._kf_n_dev is not None
+            else jnp.int32(self.kf.n)
+        )
+        carry, packed = self._jit_chunk(
             self.odom, self.graph, self.kf.clouds, self.kf.masks,
             self.kf.raw_poses, self.kf.stamps,
-            jnp.int32(self.kf.n),
+            kf_n_dev,
             jnp.asarray(self.last_kf_raw, jnp.float32),
             jnp.asarray(self.last_kf_corrected, jnp.float32),
-            scans, imus, stamps, jnp.float32(scan_dt),
+            scans, imus, jnp.asarray(stamps_np), dt_dev,
         )
         (self.odom, self.graph, clouds, masks, rposes, kstamps, kf_n,
          last_raw, last_corr) = carry
         self.kf.clouds, self.kf.masks = clouds, masks
         self.kf.raw_poses, self.kf.stamps = rposes, kstamps
+        # next-chunk inputs stay device-resident (lazy) — no round trip
+        self._kf_n_dev = kf_n
+        self.last_kf_raw = last_raw
+        self.last_kf_corrected = last_corr
 
-        # single host readback for the whole chunk
-        raw_np = np.asarray(raw_Ts)
-        corr_np = np.asarray(corr_Ts)
-        kf_np = np.asarray(is_kf)
-        stamps_np = np.asarray(stamps)
+        # ONE host readback for the whole chunk
+        flat = np.asarray(packed)
+        raw_np = flat[: 16 * S].reshape(S, 4, 4)
+        corr_np = flat[16 * S: 32 * S].reshape(S, 4, 4)
+        kf_np = flat[32 * S: 33 * S] > 0.5
+        cand = int(flat[-2])
+        found = flat[-1] > 0.5
         new_kf = int(kf_np.sum())
         first_kf_idx = self.kf.n
         self.kf.n += new_kf
         self._n_bt_host += new_kf - (1 if first_kf_idx == 0 and new_kf else 0)
-        self.last_kf_raw = np.asarray(last_raw)
-        self.last_kf_corrected = np.asarray(last_corr)
 
         # host bookkeeping per scan (numpy, no device traffic)
         kf_counter = first_kf_idx
@@ -463,8 +495,8 @@ class SlamEngine:
         k = self.kf.n
         if k > 1 and k - 1 > self._loop_processed_kf:
             self._loop_processed_kf = k - 1
-            if bool(found):
-                self._launch_verify(k - 1, int(cand))
+            if found:
+                self._launch_verify(k - 1, cand)
         if self._needs_solve:
             self._solve()
         return corr_np
@@ -554,6 +586,7 @@ class SlamEngine:
             jnp.float32(stamp),
         )
         self.kf.n = k + 1
+        self._kf_n_dev = None  # host counter is now authoritative
         self.last_kf_raw = np.asarray(raw_T)
         self.last_kf_corrected = np.asarray(corrected_T)
 

@@ -142,6 +142,7 @@ def load_checkpoint(engine: SlamEngine, path: str) -> SlamEngine:
     engine.kf.raw_poses = jnp.asarray(blob["kf.raw_poses"])
     engine.kf.stamps = jnp.asarray(blob["kf.stamps"])
     engine.kf.n = int(blob["kf.n"])
+    engine._kf_n_dev = None  # host counter is authoritative after a restore
     engine.last_kf_raw = jnp.asarray(blob["rt.last_kf_raw"])
     engine.last_kf_corrected = jnp.asarray(blob["rt.last_kf_corrected"])
     engine.scan_count = int(blob["rt.scan_count"])
