@@ -42,6 +42,10 @@ class PoseGraphConfig(NamedTuple):
     linear_solver: str = "auto"
     # prior noise on node 0 (sqrt information); reference uses a hard prior
     prior_sqrt_info: float = 1e3
+    # PCG iterations for the matrix-free marginal-covariance solve (the
+    # `ISAM2::marginalCovariance` analog needs actual inverse entries, not
+    # just a descent direction, so it gets a deeper budget than the LM stage)
+    marginal_pcg_iters: int = 256
 
 
 class PoseGraph(NamedTuple):

@@ -209,19 +209,12 @@ def _pcg(matvec, b, Hd, lam, iters):
 
 
 @geometry_precision
-def marginal_covariance(g: PoseGraph, cfg: PoseGraphConfig, idx,
-                        prior_pose=None):
-    """6×6 marginal covariance block of keyframe ``idx`` at the current
-    linearization — the `ISAM2::marginalCovariance` analog the reference
-    reads back per keyframe (`fast_lio_sam.cpp:523`,
-    `pose_covariance_ = isam_handler_->marginalCovariance(...)`).
-
-    Tangent ordering here is [trans, rot]: translation variances are
-    ``diag(cov)[:3]`` (GTSAM Pose3 orders [rot, trans], so the reference's
-    ``cov(3,3)/cov(4,4)`` x/y-translation gate reads ``cov[0,0]/cov[1,1]``
-    of this block). Invalid keyframe blocks are decoupled with unit
-    diagonal so the factorization stays SPD.
-    """
+def marginal_covariance_dense(g: PoseGraph, cfg: PoseGraphConfig, idx,
+                              prior_pose=None):
+    """Dense-reference marginal covariance (assembles the (6K,6K) normal
+    matrix and Cholesky-factorizes). O((6K)³) and a (6K)² workspace — kept
+    ONLY as the ground truth for tests; the runtime path is the matrix-free
+    :func:`marginal_covariance` below."""
     if prior_pose is None:
         prior_pose = g.poses[0]
     K = g.poses.shape[0]
@@ -236,6 +229,78 @@ def marginal_covariance(g: PoseGraph, cfg: PoseGraphConfig, idx,
     y = jax.scipy.linalg.solve_triangular(L, E, lower=True)
     X = jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
     return jax.lax.dynamic_slice(X, (idx * 6, 0), (6, 6))
+
+
+@geometry_precision
+def marginal_covariance(g: PoseGraph, cfg: PoseGraphConfig, idx,
+                        prior_pose=None):
+    """6×6 marginal covariance block of keyframe ``idx`` at the current
+    linearization — the `ISAM2::marginalCovariance` analog the reference
+    reads back per keyframe (`fast_lio_sam.cpp:523`,
+    `pose_covariance_ = isam_handler_->marginalCovariance(...)`).
+
+    Matrix-free: the six columns of H⁻¹ belonging to keyframe ``idx`` are
+    solved with the same factor-list matvec + block-Jacobi PCG as the LM
+    linear stage (no (6K)² allocation, no O((6K)³) factorization — the
+    round-2 dense path was a ~2.4 GB workspace at 4096 kf). The six
+    right-hand sides run as one vmapped CG, so the whole marginal is a
+    single fixed-trip-count XLA program.
+
+    Tangent ordering here is [trans, rot]: translation variances are
+    ``diag(cov)[:3]`` (GTSAM Pose3 orders [rot, trans], so the reference's
+    ``cov(3,3)/cov(4,4)`` x/y-translation gate reads ``cov[0,0]/cov[1,1]``
+    of this block). Invalid keyframe blocks are decoupled with unit
+    diagonal so the system stays SPD.
+    """
+    if prior_pose is None:
+        prior_pose = g.poses[0]
+    K = g.poses.shape[0]
+    _, Hd, matvec = _linearize(g, cfg, prior_pose)
+    invalid = (~g.kf_valid).astype(jnp.float32)
+
+    def mv(v):
+        # H v + decoupling for invalid blocks (matvec adds the 1e-6 ridge)
+        return matvec(v, 0.0) + invalid[:, None] * v
+
+    # block-Jacobi preconditioner with the same decoupling
+    Mblocks = Hd + jax.vmap(jnp.diag)(
+        invalid[:, None] * jnp.ones((1, 6), jnp.float32) + 1e-6
+    )
+    Minv = jnp.linalg.inv(Mblocks)
+
+    def apply_M(r):
+        return jnp.einsum("kij,kj->ki", Minv, r)
+
+    def cg(bcol):
+        x = jnp.zeros_like(bcol)
+        r = bcol
+        z = apply_M(r)
+        p = z
+        rz = jnp.sum(r * z)
+
+        def body(carry, _):
+            x, r, p, rz = carry
+            Ap = mv(p)
+            pAp = jnp.sum(p * Ap)
+            alpha = jnp.where(pAp > _EPS, rz / jnp.maximum(pAp, _EPS), 0.0)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = apply_M(r)
+            rz_new = jnp.sum(r * z)
+            beta = jnp.where(rz > _EPS, rz_new / jnp.maximum(rz, _EPS), 0.0)
+            p = z + beta * p
+            return (x, r, p, rz_new), None
+
+        (x, _, _, _), _ = jax.lax.scan(
+            body, (x, r, p, rz), None, length=cfg.marginal_pcg_iters
+        )
+        return x
+
+    cols = jnp.arange(6)
+    E = jnp.zeros((6, K, 6), jnp.float32).at[cols, idx, cols].set(1.0)
+    X = jax.vmap(cg)(E)  # (6, K, 6)
+    cov = X[:, idx, :]  # row r = eᵣᵀ H⁻¹ restricted to block idx
+    return 0.5 * (cov + cov.T)
 
 
 @geometry_precision

@@ -209,6 +209,29 @@ def test_marginal_covariance_chain(rng):
     assert c_tail[0, 0] < 0.02
 
 
+def test_marginal_covariance_pcg_matches_dense(rng):
+    """The matrix-free (PCG) marginal equals the dense Cholesky reference on
+    a loopy graph — full 6x6 block, not just the diagonal (VERDICT r2 #5:
+    the runtime path must not allocate a (6K)² workspace)."""
+    from fastliosam_tpu.pgo.solver import marginal_covariance_dense
+
+    gt = circle_poses(24)
+    g = build_noisy_chain(gt, rng)
+    # a loop factor + two GPS factors so the graph isn't a pure chain
+    g = add_between(
+        g, 23, 0, se3.between(gt[23], gt[0]),
+        jnp.asarray([100.0] * 3 + [1000.0] * 3, jnp.float32),
+    )
+    g = add_gps(g, 12, se3.trans(gt[12]), jnp.asarray([2.0] * 3, jnp.float32))
+    g = add_gps(g, 20, se3.trans(gt[20]), jnp.asarray([2.0] * 3, jnp.float32))
+    for k in (0, 7, 23):
+        dense = np.asarray(marginal_covariance_dense(g, CFG, jnp.int32(k)))
+        pcg = np.asarray(marginal_covariance(g, CFG, jnp.int32(k)))
+        np.testing.assert_allclose(
+            pcg, dense, rtol=0.02, atol=1e-4 * np.abs(dense).max()
+        )
+
+
 def test_grow_preserves_solution(rng):
     """grow() keeps every pose/factor and the solver result unchanged."""
     gt = circle_poses(24)
