@@ -59,24 +59,29 @@ def detect_sharded(
     def f(pos, st, valid, q):
         Kl = pos.shape[0]
         gidx = jax.lax.axis_index(axis) * Kl + jnp.arange(Kl)
-        # broadcast the query row to every shard (owner contributes, psum)
+        # broadcast the query row to every shard: owner contributes, ONE
+        # fused psum of [pos, stamp] (was two collectives — r2's sharded
+        # detect spent its 5x slowdown mostly on collective count)
         own_q = gidx == q
-        qpos = jax.lax.psum(
-            jnp.sum(jnp.where(own_q[:, None], pos, 0.0), axis=0), axis
+        qrow = jax.lax.psum(
+            jnp.sum(
+                jnp.where(own_q[:, None], jnp.concatenate(
+                    [pos, st[:, None]], axis=-1), 0.0),
+                axis=0,
+            ),
+            axis,
         )
-        qstamp = jax.lax.psum(jnp.sum(jnp.where(own_q, st, 0.0)), axis)
+        qpos, qstamp = qrow[:3], qrow[3]
         d = jnp.linalg.norm(pos - qpos, axis=-1)
         ok = valid & (d < radius) & (jnp.abs(qstamp - st) > time_gap)
         dm = jnp.where(ok, d, jnp.inf)
         li = jnp.argmin(dm)
-        dmin = dm[li]
-        gmin = gidx[li].astype(jnp.int32)
-        # tiny (n_dev,) gather, replicated argmin
-        ds = jax.lax.all_gather(dmin, axis)
-        gs = jax.lax.all_gather(gmin, axis)
-        w = jnp.argmin(ds)
-        found = jnp.isfinite(ds[w])
-        return jnp.where(found, gs[w], -1), found
+        # ONE all_gather of the packed (dist, idx) pair per device
+        packed = jnp.stack([dm[li], gidx[li].astype(jnp.float32)])
+        allp = jax.lax.all_gather(packed, axis)  # (n_dev, 2)
+        w = jnp.argmin(allp[:, 0])
+        found = jnp.isfinite(allp[w, 0])
+        return jnp.where(found, allp[w, 1].astype(jnp.int32), -1), found
 
     return f(positions, stamps, kf_valid, jnp.asarray(query_idx, jnp.int32))
 

@@ -78,6 +78,12 @@ class EngineConfig(NamedTuple):
     # >1 device the ICP verification dispatches to another chip and JAX's
     # async dispatch overlaps it with odometry). None = same device.
     loop_device: int | None = None
+    # solve cadence: False (default) re-solves only on loop/GPS events —
+    # without new loop/GPS factors the graph optimum is the odometry chain
+    # itself, so extra solves are no-ops numerically. True reproduces the
+    # reference spec's per-keyframe iSAM2 update (fast_lio_sam.cpp:494-513)
+    # for the cadence-fidelity measurement (VERDICT r2 #7).
+    solve_per_keyframe: bool = False
 
 
 class GpsFix(NamedTuple):
@@ -488,6 +494,8 @@ class SlamEngine:
                 kf_counter += 1
         self.scan_count += S
 
+        if self.cfg.solve_per_keyframe and new_kf > 0:
+            self._needs_solve = True
         # loop cadence + solve at the chunk boundary: the candidate came
         # back fused with the chunk outputs; only the ICP verification (and
         # only when a candidate exists) costs an extra (async) dispatch
@@ -592,6 +600,8 @@ class SlamEngine:
 
         if self.cfg.use_gps:
             self._try_add_gps_factor(k, stamp, corrected_T)
+        if self.cfg.solve_per_keyframe:
+            self._needs_solve = True
 
     # ------------------------------------------------------------------
     def _attempt_loop(self):

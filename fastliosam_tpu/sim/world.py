@@ -81,6 +81,129 @@ class PlaneWorld:
             vs=np.asarray(V, np.float64),
         )
 
+    @staticmethod
+    def corridor(length=240.0, width=8.0, height=5.0, n_clutter=6,
+                 clutter_span=20.0, seed=0) -> "PlaneWorld":
+        """A long straight corridor along +x: floor, ceiling, two side
+        walls, and a few clutter boxes only near the start (x <
+        ``clutter_span``). Beyond the clutter the geometry is translation-
+        degenerate along x — every visible plane normal is ⊥ x̂ — so LiDAR
+        matching cannot observe forward motion and odometry must drift.
+        This is the degenerate-geometry eval feed (SURVEY §7 hard-part 7)
+        and the honest GPS-fusion demo: GPS factors are the only absolute
+        x information (`add_gps_factor`, fast_lio_sam.cpp:177-260)."""
+        rng = np.random.default_rng(seed)
+        hw = width / 2.0
+        C, U, V = [], [], []
+
+        def rect(center, u, v):
+            C.append(center)
+            U.append(u)
+            V.append(v)
+
+        hx = length / 2.0
+        cx = length / 2.0 - 10.0  # corridor from -10 to length-10
+        # floor + ceiling
+        rect([cx, 0, 0], [hx, 0, 0], [0, hw, 0])
+        rect([cx, 0, height], [hx, 0, 0], [0, -hw, 0])
+        # side walls (featureless, normals = ±ŷ)
+        rect([cx, hw, height / 2], [-hx, 0, 0], [0, 0, height / 2])
+        rect([cx, -hw, height / 2], [hx, 0, 0], [0, 0, height / 2])
+        # far end cap (normals = -x̂) — beyond max_range for most of the run
+        rect([length - 10.0, 0, height / 2], [0, hw, 0], [0, 0, height / 2])
+        # clutter boxes near the start only
+        for _ in range(n_clutter):
+            bx = rng.uniform(0.0, clutter_span)
+            by = rng.uniform(-hw * 0.7, hw * 0.7)
+            w, d, bh = rng.uniform(0.4, 1.2, size=3)
+            bh = min(bh + 0.3, height - 1)
+            ux = np.array([1.0, 0.0, 0.0])
+            uy = np.array([0.0, 1.0, 0.0])
+            rect([bx + w, by, bh / 2], uy * d, [0, 0, bh / 2])
+            rect([bx - w, by, bh / 2], -uy * d, [0, 0, bh / 2])
+            rect([bx, by + d, bh / 2], -ux * w, [0, 0, bh / 2])
+            rect([bx, by - d, bh / 2], ux * w, [0, 0, bh / 2])
+            rect([bx, by, bh], ux * w, uy * d)
+        return PlaneWorld(
+            centers=np.asarray(C, np.float64),
+            us=np.asarray(U, np.float64),
+            vs=np.asarray(V, np.float64),
+        )
+
+    @staticmethod
+    def city(a=60.0, b=60.0, street_w=12.0, wall_h=8.0, n_clutter=24,
+             seed=0) -> "PlaneWorld":
+        """Urban canyon: a rectangular street circuit (centerline half-
+        extents ``a`` × ``b``) between an inner city block and outer
+        buildings. Three streets carry clutter (parked-car boxes) and gappy
+        outer facades (loop-closure texture); the +x street is a featureless
+        canyon — both walls flat and parallel — so it is translation-
+        degenerate along y while mid-street (corners out of range). Pairs
+        with :meth:`Trajectory.circuit` for the long-run KITTI-format eval
+        (VERDICT r2 #6: multi-loop, corridor segment, yaw-rate spikes)."""
+        rng = np.random.default_rng(seed)
+        C, U, V = [], [], []
+
+        def rect(center, u, v):
+            C.append(center)
+            U.append(u)
+            V.append(v)
+
+        def box(cx, cy, hw, hd, h):
+            ux = np.array([1.0, 0.0, 0.0])
+            uy = np.array([0.0, 1.0, 0.0])
+            rect([cx + hw, cy, h / 2], uy * hd, [0, 0, h / 2])
+            rect([cx - hw, cy, h / 2], -uy * hd, [0, 0, h / 2])
+            rect([cx, cy + hd, h / 2], -ux * hw, [0, 0, h / 2])
+            rect([cx, cy - hd, h / 2], ux * hw, [0, 0, h / 2])
+            rect([cx, cy, h], ux * hw, uy * hd)
+
+        g = a + street_w + 30.0
+        rect([0, 0, 0], [g, 0, 0], [0, g, 0])  # ground
+        hw = street_w / 2.0
+        ia, ib = a - hw, b - hw  # inner block walls
+        # inner block: 4 walls + roof
+        box(0.0, 0.0, ia, ib, wall_h)
+        oa, ob = a + hw, b + hw
+        # outer facade, +x street: one solid featureless wall (the canyon)
+        rect([oa, 0, wall_h / 2], [0, -ob, 0], [0, 0, wall_h / 2])
+        # outer facades elsewhere: discrete buildings with gaps (texture)
+        n_seg = 6
+        for s_ in range(n_seg):
+            frac0 = s_ / n_seg + 0.02
+            frac1 = (s_ + 1) / n_seg - 0.06
+            mid = (frac0 + frac1) / 2
+            half = (frac1 - frac0) / 2
+            h = float(rng.uniform(5.0, 12.0))
+            # -x street
+            rect([-oa, (mid * 2 - 1) * ob, h / 2], [0, half * 2 * ob, 0],
+                 [0, 0, h / 2])
+            # +y street
+            rect([(mid * 2 - 1) * oa, ob, h / 2], [-half * 2 * oa, 0, 0],
+                 [0, 0, h / 2])
+            # -y street
+            rect([(mid * 2 - 1) * oa, -ob, h / 2], [half * 2 * oa, 0, 0],
+                 [0, 0, h / 2])
+        # clutter (parked cars) on the three textured streets only
+        for _ in range(n_clutter):
+            street = rng.integers(0, 3)
+            along = rng.uniform(-0.8, 0.8)
+            side = rng.choice([-1.0, 1.0])
+            lat = side * (hw - 1.5)
+            if street == 0:  # -x street
+                cx, cy = -a - lat, along * ib
+            elif street == 1:  # +y street
+                cx, cy = along * ia, b + lat
+            else:  # -y street
+                cx, cy = along * ia, -b - lat
+            box(cx, cy, float(rng.uniform(0.8, 1.2)),
+                float(rng.uniform(1.8, 2.4)), float(rng.uniform(1.2, 1.8)))
+        return PlaneWorld(
+            centers=np.asarray(C, np.float64),
+            us=np.asarray(U, np.float64),
+            vs=np.asarray(V, np.float64),
+        )
+
     def raycast(self, origins, dirs, max_range=100.0):
         """Batch ray cast. origins/dirs (N,3) -> (points (N,3), hit (N,))."""
         n = self.normals  # (K,3)
@@ -154,6 +277,76 @@ class Trajectory:
             dx = scale * w * np.cos(a)
             dy = scale * w * np.cos(2 * a)
             yaw = np.arctan2(dy, dx)
+            cy, sy = np.cos(yaw), np.sin(yaw)
+            Rz = np.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1.0]])
+            return Rz, p
+
+        return Trajectory(pose_fn=pose)
+
+    @staticmethod
+    def circuit(a=60.0, b=60.0, corner_r=10.0, speed=8.0, z=1.7,
+                z_amp=0.05, z_period=5.0) -> "Trajectory":
+        """Arc-length-parametric rounded-rectangle street circuit (CCW),
+        yaw along the tangent. Straights are constant-yaw; corners are
+        yaw-rate spikes (v/r ≈ 0.8 rad/s at the defaults). Loops close
+        every lap. Pairs with :meth:`PlaneWorld.city`."""
+        r = corner_r
+        Lx, Ly = 2 * (a - r), 2 * (b - r)
+        Q = np.pi * r / 2.0
+        P = 2 * Lx + 2 * Ly + 4 * Q
+        # segment starts (CCW from (a, -(b-r))): right straight, TR corner,
+        # top straight, TL corner, left straight, BL corner, bottom, BR
+        s0 = np.cumsum([0, Ly, Q, Lx, Q, Ly, Q, Lx])
+        wz = 2 * np.pi / z_period
+
+        def pose(t):
+            s = (speed * t) % P
+            if s < s0[1]:  # right street, heading +y
+                x, y, yaw = a, -(b - r) + s, np.pi / 2
+            elif s < s0[2]:
+                u = (s - s0[1]) / r
+                x = (a - r) + r * np.cos(u)
+                y = (b - r) + r * np.sin(u)
+                yaw = np.pi / 2 + u
+            elif s < s0[3]:  # top street, heading -x
+                x, y, yaw = (a - r) - (s - s0[2]), b, np.pi
+            elif s < s0[4]:
+                u = (s - s0[3]) / r
+                x = -(a - r) - r * np.sin(u)
+                y = (b - r) + r * np.cos(u)
+                yaw = np.pi + u
+            elif s < s0[5]:  # left street, heading -y
+                x, y, yaw = -a, (b - r) - (s - s0[4]), -np.pi / 2
+            elif s < s0[6]:
+                u = (s - s0[5]) / r
+                x = -(a - r) - r * np.cos(u)
+                y = -(b - r) - r * np.sin(u)
+                yaw = -np.pi / 2 + u
+            elif s < s0[7]:  # bottom street, heading +x
+                x, y, yaw = -(a - r) + (s - s0[6]), -b, 0.0
+            else:
+                u = (s - s0[7]) / r
+                x = (a - r) + r * np.sin(u)
+                y = -(b - r) - r * np.cos(u)
+                yaw = u
+            p = np.array([x, y, z + z_amp * np.sin(wz * t)])
+            cy, sy = np.cos(yaw), np.sin(yaw)
+            Rz = np.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1.0]])
+            return Rz, p
+
+        return Trajectory(pose_fn=pose)
+
+    @staticmethod
+    def straight(speed=6.0, z=1.5, yaw_amp=0.03, yaw_period=4.0,
+                 z_amp=0.05) -> "Trajectory":
+        """Constant-speed straight line along +x with a gentle yaw/heave
+        wiggle (keeps deskew + gyro paths non-trivial). Pairs with
+        :meth:`PlaneWorld.corridor` for the degeneracy eval."""
+        wy = 2 * np.pi / yaw_period
+
+        def pose(t):
+            p = np.array([speed * t, 0.0, z + z_amp * np.sin(wy * t)])
+            yaw = yaw_amp * np.sin(wy * t)
             cy, sy = np.cos(yaw), np.sin(yaw)
             Rz = np.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1.0]])
             return Rz, p

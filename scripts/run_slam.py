@@ -79,6 +79,7 @@ def run_sim(args, engine):
     from fastliosam_tpu.odom import ImuBatch, Scan
     from fastliosam_tpu.sim import PlaneWorld, SimConfig, Trajectory, simulate_sequence
 
+    args.n_scans = args.n_scans or 200  # 0 sentinel = sim default
     world = PlaneWorld.room(size=50.0, height=8.0, n_boxes=20, seed=1)
     traj = Trajectory.circle(radius=8.0, period=40.0)
     sim_cfg = SimConfig(n_azimuth=1024, n_elev=16, time_groups=32, seed=1)
@@ -136,59 +137,17 @@ def run_sim(args, engine):
 
 
 def run_kitti(args, engine):
-    import jax.numpy as jnp
+    from fastliosam_tpu.runtime.drivers import drive_kitti
 
-    from fastliosam_tpu.io import KittiSequence
-    from fastliosam_tpu.io.native import read_bins
-    from fastliosam_tpu.odom import ImuBatch, Scan
-
-    import jax
-
-    seq = KittiSequence(args.root, args.seq)
-    cap = args.scan_capacity
-    print(f"KITTI {args.seq}: {len(seq)} scans")
-    empty_imu = ImuBatch(
-        stamps=jnp.full((8,), 1e9, jnp.float32),
-        gyro=jnp.zeros((8, 3)),
-        acc=jnp.zeros((8, 3)),
-        mask=jnp.zeros((8, ), bool),
+    out = drive_kitti(
+        engine, args.root, args.seq, scan_capacity=args.scan_capacity,
+        n_scans=args.n_scans if args.n_scans > 0 else None,
     )
-
-    def stage(i):
-        """Decode (native mmap reader) + async host->device transfer —
-        issued one scan ahead so the copy overlaps compute."""
-        from fastliosam_tpu.io.native import read_bin
-
-        raw, n = read_bin(
-            os.path.join(seq.velo_dir, seq.files[i]), cap
-        )
-        xyz = raw[:, :3].copy()
-        from fastliosam_tpu.io.kitti import _azimuth_time_offsets
-
-        toff = _azimuth_time_offsets(xyz)
-        return Scan(
-            xyz=jax.device_put(xyz),
-            t_offset=jax.device_put(toff),
-            mask=jax.device_put(np.arange(cap) < n),
-        )
-
-    nxt = stage(0)
-    t_prev = 0.0
-    for i in range(len(seq)):
-        scan = nxt
-        if i + 1 < len(seq):
-            nxt = stage(i + 1)  # async: overlaps with the step below
-        stamp = float(seq.times[i])
-        engine.process(scan, empty_imu, stamp, max(stamp - t_prev, 0.05))
-        t_prev = stamp
-        if i % 100 == 0:
-            print(f"  scan {i}/{len(seq)}")
-    gt = seq.gt_poses()
-    if gt is not None:
-        from fastliosam_tpu.eval import ate_rmse
-
-        est = np.stack(engine.realtime_traj)[:, :3, 3]
-        print(f"ATE (aligned): {ate_rmse(est, gt[: len(est), :3, 3], align=True):.3f} m")
+    print(f"KITTI {args.seq}: {out['n_scans']} scans at "
+          f"{out['scans_per_sec']} scans/s, {out['n_keyframes']} keyframes, "
+          f"{out['n_loops']} loops")
+    if "ate_m" in out:
+        print(f"ATE: {out['ate_m']} m  RPE(1s): {out['rpe_1s_m']} m")
 
 
 def run_generic(args, engine):
@@ -398,7 +357,8 @@ def main():
     ap.add_argument("--root", default=None)
     ap.add_argument("--seq", default="07")
     ap.add_argument("--out", default="out/run")
-    ap.add_argument("--n-scans", type=int, default=200)
+    ap.add_argument("--n-scans", type=int, default=0,
+                help="0 = dataset default (sim: 200, file datasets: all)")
     ap.add_argument(
         "--chunk", type=int, default=1,
         help="scans per device dispatch (sim dataset): >1 uses the chunked "

@@ -140,3 +140,58 @@ def test_icp_sharded_matches_replicated(rng):
     np.testing.assert_allclose(np.asarray(T_sh), np.asarray(T_ref), atol=1e-4)
     # and it actually aligned
     assert float(fit_sh) < 1e-3
+
+
+def test_sharded_voxel_map_matches_replicated(rng):
+    """Slot-range-sharded map (VERDICT r2 #8): insert + merged3 query on the
+    8-device mesh match the single-device map."""
+    from fastliosam_tpu.map import VoxelMapConfig, insert, make_map
+    from fastliosam_tpu.map.voxel_hash import query_planes_merged3
+    from fastliosam_tpu.parallel.sharded_map import (
+        insert_sharded, make_map_sharded, query_planes_merged3_sharded,
+    )
+
+    cfg = VoxelMapConfig(capacity=1 << 14, voxel_size=0.5, min_points=5)
+    mesh = make_mesh(8)
+    # surface-like points so planes are actually valid
+    n = 2048
+    pts = np.stack([
+        rng.uniform(-8, 8, n), rng.uniform(-8, 8, n),
+        0.05 * rng.standard_normal(n),
+    ], 1).astype(np.float32)
+    mask = jnp.asarray(rng.uniform(size=n) > 0.1)
+    pts = jnp.asarray(pts)
+
+    m_ref = make_map(cfg)
+    m_ref, drop_ref = insert(m_ref, cfg, pts, mask, refresh_planes=False)
+    m_sh = make_map_sharded(cfg, mesh)
+    m_sh, drop_sh = insert_sharded(m_sh, cfg, pts, mask, mesh)
+    assert int(drop_sh) == int(drop_ref)
+    # table contents identical (same slots, same moments)
+    np.testing.assert_array_equal(np.asarray(m_sh.fp), np.asarray(m_ref.fp))
+    np.testing.assert_allclose(
+        np.asarray(m_sh.moments), np.asarray(m_ref.moments), rtol=1e-6, atol=1e-5
+    )
+
+    q = pts + jnp.asarray(rng.uniform(-0.2, 0.2, (n, 3)).astype(np.float32))
+    n_ref, d_ref, v_ref = query_planes_merged3(m_ref, cfg, q, mask)
+    n_sh, d_sh, v_sh = query_planes_merged3_sharded(m_sh, cfg, q, mask, mesh)
+    np.testing.assert_array_equal(np.asarray(v_sh), np.asarray(v_ref))
+    vr = np.asarray(v_ref)
+    np.testing.assert_allclose(
+        np.asarray(n_sh)[vr], np.asarray(n_ref)[vr], rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(d_sh)[vr], np.asarray(d_ref)[vr], rtol=1e-4, atol=1e-3
+    )
+
+    # second insert batch exercises match-vs-claim against existing entries
+    pts2 = pts + jnp.asarray(
+        rng.uniform(-0.3, 0.3, (n, 3)).astype(np.float32))
+    m_ref2, _ = insert(m_ref, cfg, pts2, mask, refresh_planes=False)
+    m_sh2, _ = insert_sharded(m_sh, cfg, pts2, mask, mesh)
+    np.testing.assert_array_equal(np.asarray(m_sh2.fp), np.asarray(m_ref2.fp))
+    np.testing.assert_allclose(
+        np.asarray(m_sh2.moments), np.asarray(m_ref2.moments),
+        rtol=1e-6, atol=1e-5,
+    )
