@@ -77,17 +77,19 @@ def voxel_downsample(cloud: Cloud, voxel_size: float) -> Cloud:
     """VoxelGrid-style centroid downsample. Output keeps the input capacity
     with occupied-voxel centroids **packed to the front** (single sort; the
     packing reuses the key sort via a unique-index scatter, so no separate
-    `compact` pass is needed). The sort carries the coordinates as payload
-    operands (`lax.sort` multi-operand) instead of argsort + post-gathers —
-    random-access gathers are the expensive primitive on TPU."""
+    `compact` pass is needed).
+
+    NOTE (r3): argsort + post-gathers is deliberate. The multi-operand
+    payload variant (`lax.sort((keys, x, y, z, mask), num_keys=1)`) wedges
+    the remote TPU compile service for 30+ minutes — do not reintroduce it
+    without compile-testing standalone first."""
     xyz, mask = cloud.xyz, cloud.mask
     n = xyz.shape[0]
     keys = _pack_voxel_keys(xyz, mask, voxel_size)
-    skeys, sx, sy, sz, smask = jax.lax.sort(
-        (keys, xyz[:, 0], xyz[:, 1], xyz[:, 2], mask),
-        dimension=0, num_keys=1,
-    )
-    sxyz = jnp.stack([sx, sy, sz], axis=-1)
+    order = jnp.argsort(keys)
+    skeys = keys[order]
+    sxyz = xyz[order]
+    smask = mask[order]
     # Segment ids: 0-based index of each distinct key run. Invalid lanes all
     # share the sentinel key and sort to the tail as one segment.
     is_start = jnp.concatenate(
