@@ -24,6 +24,46 @@ class RoadNetwork:
     def __post_init__(self):
         self.edges = [np.asarray(e, np.float64) for e in self.edges]
 
+    @staticmethod
+    def from_osm_xml(path, origin=None, highway_only=True):
+        """Build a road network from an OpenStreetMap XML extract
+        (the offline half of the reference's mappymatch-over-OSM flow,
+        `georef_mapmatch.py:290-366` — zero-egress environments supply the
+        .osm file; this parses it, no fetch involved).
+
+        ``origin`` = (lat, lon) of the local ENU frame; defaults to the
+        mean of all way nodes. Ways without a ``highway`` tag are skipped
+        unless ``highway_only=False``. Returns ``(network, origin)``.
+        """
+        import xml.etree.ElementTree as ET
+
+        from ..core.geodesy import LocalCartesian
+
+        root = ET.parse(path).getroot()
+        nodes = {}
+        for nd in root.iter("node"):
+            nodes[nd.get("id")] = (
+                float(nd.get("lat")), float(nd.get("lon"))
+            )
+        ways = []
+        for way in root.iter("way"):
+            tags = {t.get("k"): t.get("v") for t in way.findall("tag")}
+            if highway_only and "highway" not in tags:
+                continue
+            refs = [nd.get("ref") for nd in way.findall("nd")]
+            pts = [nodes[r] for r in refs if r in nodes]
+            if len(pts) >= 2:
+                ways.append(np.asarray(pts, np.float64))
+        if origin is None:
+            allp = np.concatenate(ways, axis=0)
+            origin = (float(allp[:, 0].mean()), float(allp[:, 1].mean()))
+        lc = LocalCartesian.from_origin(origin[0], origin[1], 0.0)
+        edges = []
+        for w in ways:
+            enu = np.asarray(lc.forward(w[:, 0], w[:, 1], np.zeros(len(w))))
+            edges.append(enu[:, :2] if enu.ndim == 2 else enu[None, :2])
+        return RoadNetwork(edges=edges), origin
+
     def project_point(self, p):
         """Nearest point on each edge: returns arrays
         (dist (E,), snapped (E, 2), arclen (E,)) where arclen is the
