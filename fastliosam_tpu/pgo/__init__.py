@@ -9,4 +9,9 @@ from .graph import (  # noqa: F401
     set_pose,
     grow,
 )
-from .solver import solve, graph_cost, marginal_covariance  # noqa: F401
+from .solver import (  # noqa: F401
+    solve,
+    graph_cost,
+    marginal_covariance,
+    extrapolate_pose_cov,
+)

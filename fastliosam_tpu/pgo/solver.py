@@ -303,6 +303,55 @@ def marginal_covariance(g: PoseGraph, cfg: PoseGraphConfig, idx,
     return 0.5 * (cov + cov.T)
 
 
+def extrapolate_pose_cov(cov6, dk, path_len, dxy, trans_var, rot_var):
+    """First-order dead-reckoning extrapolation of the x/y translation
+    marginal variances ``dk`` keyframes past the last solve (host-side
+    numpy — this feeds the engine's GPS pose-covariance gate between
+    solves, where iSAM2 would have tracked the marginal incrementally,
+    `fast_lio_sam.cpp:523`).
+
+    Inputs: ``cov6`` the 6×6 [trans, rot] marginal at the last solve,
+    ``path_len`` the odometry path length since, ``dxy`` the (2,) net x/y
+    displacement since. Error growth has four first-order terms per axis:
+
+      1. the odometry translation random walk          dk·σ_t²
+      2. the yaw uncertainty at the solve, levered by the displacement
+         perpendicular to the axis                     (Δp_⊥)²·σ_ψ²
+      3. the (translation, yaw) cross-covariance at the solve, levered
+         the same way                                  ±2·Δp_⊥·cov(t, ψ)
+      4. yaw noise injected after the solve, each step levered by the
+         remaining path                                σ_ψstep²·d̄²·Σm²
+
+    Exact on a straight odometry chain (verified against the dense
+    marginal in ``test_pose_cov_extrapolation_matches_truth``); on curved
+    paths the straight-line lever is an approximation of the true
+    integral. Returns the (2,) extrapolated x/y variances.
+    """
+    import numpy as np
+
+    var = np.array([cov6[0, 0], cov6[1, 1]], np.float64)
+    dk = int(dk)
+    if dk <= 0:
+        return var
+    yaw_var = float(cov6[5, 5])
+    cov_x_yaw = float(cov6[0, 5])
+    cov_y_yaw = float(cov6[1, 5])
+    dx, dy = float(dxy[0]), float(dxy[1])
+    norm2 = dx * dx + dy * dy
+    dbar = float(path_len) / dk
+    # Σ_{m=0}^{dk-1} m² — lever of per-step yaw noise over the remaining path
+    s2 = (dk - 1) * dk * (2 * dk - 1) / 6.0
+    walk = rot_var * dbar * dbar * s2
+    frac_x = dy * dy / norm2 if norm2 > 1e-12 else 0.0
+    frac_y = dx * dx / norm2 if norm2 > 1e-12 else 0.0
+    # δx = -ψ·Δp_y, δy = +ψ·Δp_x (z-rotation of the displacement)
+    var[0] += dk * trans_var + dy * dy * yaw_var - 2.0 * dy * cov_x_yaw \
+        + frac_x * walk
+    var[1] += dk * trans_var + dx * dx * yaw_var + 2.0 * dx * cov_y_yaw \
+        + frac_y * walk
+    return var
+
+
 @geometry_precision
 def solve(g: PoseGraph, cfg: PoseGraphConfig, prior_pose=None):
     """Run the LM loop; returns the graph with optimized poses.

@@ -172,12 +172,16 @@ class SlamEngine:
         self.last_gps_factor_pos: Optional[np.ndarray] = None
         self.solve_count = 0
         self._needs_solve = False
-        # pose marginal covariance (x/y translation variances) of the last
+        # pose marginal covariance (full 6×6 [trans, rot] block) of the last
         # keyframe at the most recent solve; None = never solved (treated as
-        # unbounded, so the GPS gate stays open). Between solves the
-        # covariance grows by one odometry-factor variance per keyframe.
-        self._pose_cov_xy: Optional[np.ndarray] = None
+        # unbounded, so the GPS gate stays open). Between solves the x/y
+        # variances are extrapolated by first-order dead reckoning
+        # (`pgo.extrapolate_pose_cov`), which needs the position + path
+        # length at the solve.
+        self._cov6: Optional[np.ndarray] = None
         self._cov_solved_kf = -1
+        self._cov_solved_p = np.zeros(2)
+        self._cov_solved_trajlen = 0.0
         # loop dedup: highest keyframe index already loop-attempted (the
         # reference's per-keyframe processed_ flag, fast_lio_sam.cpp:684-689)
         self._loop_processed_kf = 0
@@ -206,7 +210,10 @@ class SlamEngine:
         )
         self._jit_solve = jax.jit(lambda g: solve(g, self.pgo_cfg))
         self._jit_marginal = jax.jit(
-            lambda g, i: marginal_covariance(g, self.pgo_cfg, i)
+            lambda g, i: (
+                marginal_covariance(g, self.pgo_cfg, i),
+                se3.trans(g.poses[i]),
+            )
         )
         self._jit_detect = jax.jit(
             lambda pos, stamps, valid, q: fetch_closest_keyframe_idx(
@@ -665,22 +672,32 @@ class SlamEngine:
         self.last_kf_corrected = self.graph.poses[k - 1]
         self.last_kf_raw = self.kf.raw_poses[k - 1]
         if self.cfg.use_gps:
-            # pose_covariance_ readback (fast_lio_sam.cpp:523) — only the
-            # x/y translation marginals feed the GPS gate
-            cov = self._jit_marginal(self.graph, jnp.int32(k - 1))
-            self._pose_cov_xy = np.asarray(cov)[(0, 1), (0, 1)]
+            # pose_covariance_ readback (fast_lio_sam.cpp:523): full 6×6
+            # marginal + solved position in ONE fetch — the cross
+            # (translation, yaw) terms feed the between-solve extrapolation
+            cov, p = self._jit_marginal(self.graph, jnp.int32(k - 1))
+            self._cov6 = np.asarray(cov)
             self._cov_solved_kf = k - 1
+            self._cov_solved_p = np.asarray(p)[:2].astype(np.float64)
+            self._cov_solved_trajlen = self.traj_len
 
-    def _pose_cov_estimate(self, kf_idx):
-        """x/y translation marginal variance of keyframe ``kf_idx``: the
-        value at the last solve grown by one odometry-factor variance per
-        keyframe since (between solves iSAM2 would have tracked this;
-        we extrapolate instead of re-factorizing every keyframe)."""
-        if self._pose_cov_xy is None:
+    def _pose_cov_estimate(self, kf_idx, p_now):
+        """x/y translation marginal variance of keyframe ``kf_idx`` at
+        position ``p_now``: the marginal at the last solve propagated by
+        first-order dead reckoning (`pgo.extrapolate_pose_cov` — between
+        solves iSAM2 would have tracked this; we extrapolate instead of
+        re-factorizing every keyframe)."""
+        if self._cov6 is None:
             return np.full((2,), np.inf)
-        odom_var = 1.0 / self.cfg.odom_trans_sqrt_info**2
-        return self._pose_cov_xy + odom_var * max(
-            kf_idx - self._cov_solved_kf, 0
+        from ..pgo import extrapolate_pose_cov
+
+        return extrapolate_pose_cov(
+            self._cov6,
+            max(kf_idx - self._cov_solved_kf, 0),
+            max(self.traj_len - self._cov_solved_trajlen, 0.0),
+            np.asarray(p_now, np.float64)[:2] - self._cov_solved_p,
+            1.0 / self.cfg.odom_trans_sqrt_info**2,
+            1.0 / self.cfg.odom_rot_sqrt_info**2,
         )
 
     # ------------------------------------------------------------------
@@ -710,7 +727,7 @@ class SlamEngine:
             return
         # skip while the pose is already well-constrained (:192-193): both
         # x and y translation marginals below pose_cov_thres
-        pose_cov = self._pose_cov_estimate(kf_idx)
+        pose_cov = self._pose_cov_estimate(kf_idx, corrected_T[:3, 3])
         if pose_cov[0] < cfg.pose_cov_thres and pose_cov[1] < cfg.pose_cov_thres:
             return
         # queue scrub around the keyframe stamp (:198-209)

@@ -153,16 +153,19 @@ def test_gps_pose_cov_gate():
     assert engine._n_gps_host == 1
 
     # well-constrained pose right at the last solve -> gated
-    engine._pose_cov_xy = np.array([1e-4, 1e-4])
+    engine._cov6 = np.diag([1e-4] * 3 + [1e-6] * 3)
     engine._cov_solved_kf = 1
+    engine._cov_solved_p = np.zeros(2)
+    engine._cov_solved_trajlen = engine.traj_len
     push_fix(20.0)
     engine._try_add_gps_factor(1, 0.0, np.eye(4, dtype=np.float32))
     assert engine._n_gps_host == 1, "GPS factor added despite small pose cov"
 
-    # covariance estimate must grow between solves (one odometry-factor
-    # variance per keyframe) and re-open the gate
-    grown = engine._pose_cov_estimate(10)
-    assert np.all(grown > engine._pose_cov_xy)
+    # covariance estimate must grow between solves (dead-reckoning
+    # extrapolation: translation walk + yaw lever) and re-open the gate
+    engine.traj_len = engine._cov_solved_trajlen + 9.0
+    grown = engine._pose_cov_estimate(10, np.array([9.0, 0.0, 0.0]))
+    assert np.all(grown > np.array([1e-4, 1e-4]))
     push_fix(30.0)
     engine._try_add_gps_factor(10, 0.0, np.eye(4, dtype=np.float32))
     assert engine._n_gps_host == 2

@@ -210,10 +210,14 @@ def test_marginal_covariance_chain(rng):
 
 
 def test_pose_cov_extrapolation_matches_truth():
-    """The engine's between-solve covariance heuristic
-    (`engine._pose_cov_estimate`: marginal at last solve + one odometry-
-    factor variance per keyframe since) equals the true marginal on an
-    odometry chain — the regime it is used in (VERDICT r2 weak #4)."""
+    """The engine's between-solve covariance extrapolation
+    (`pgo.extrapolate_pose_cov`: first-order dead reckoning — translation
+    random walk + yaw lever-arm + (trans, yaw) cross terms) equals the true
+    marginal on a straight odometry chain, the regime it is used in
+    (VERDICT r2 weak #4). The naive "+σ_t² per keyframe" heuristic is ~22%
+    low on the lateral axis at 5 keyframes — the yaw terms are load-bearing."""
+    from fastliosam_tpu.pgo import extrapolate_pose_cov
+
     n = 12
     gt = []
     for k in range(n):
@@ -226,12 +230,16 @@ def test_pose_cov_extrapolation_matches_truth():
     for k in range(1, n):
         g = add_keyframe(g, gt[k])
         g = add_between(g, k - 1, k, se3.between(gt[k - 1], gt[k]), sqrt_info)
-    odom_var = 1.0 / 10.0**2
+    trans_var = 1.0 / 10.0**2
+    rot_var = 1.0 / 100.0**2
     k0, k1 = 6, 11
     cov_k0 = np.asarray(marginal_covariance(g, CFG, jnp.int32(k0)))
     cov_k1 = np.asarray(marginal_covariance(g, CFG, jnp.int32(k1)))
-    est_k1 = cov_k0[(0, 1), (0, 1)] + odom_var * (k1 - k0)
-    np.testing.assert_allclose(est_k1, cov_k1[(0, 1), (0, 1)], rtol=0.03)
+    est_k1 = extrapolate_pose_cov(
+        cov_k0, k1 - k0, float(k1 - k0), np.array([float(k1 - k0), 0.0]),
+        trans_var, rot_var,
+    )
+    np.testing.assert_allclose(est_k1, cov_k1[(0, 1), (0, 1)], rtol=0.02)
 
 
 def test_marginal_covariance_pcg_matches_dense(rng):
