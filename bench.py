@@ -611,7 +611,10 @@ def bench_solve_cadence(engine, feed, data):
     }
 
 
-KITTI_SYNTH = os.path.join(REPO, "out", "kitti_synth_v1")
+# v2: Velodyne-convention sweep timing + from-rest start on a textured
+# street (the v1 feed started at 8 m/s inside the featureless canyon with
+# time-reversed deskew offsets — unobservable AND mis-deskewed)
+KITTI_SYNTH = os.path.join(REPO, "out", "kitti_synth_v2")
 
 
 def bench_kitti_longrun():

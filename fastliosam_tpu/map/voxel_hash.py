@@ -68,6 +68,15 @@ class VoxelMapConfig(NamedTuple):
     query_probes: int = 4  # probe rounds during query
     min_points: int = 5  # NUM_MATCH_POINTS analog for a valid plane
     plane_var_thresh: float = 0.01  # max variance along normal (0.1 m sigma)
+    # planarity (vs linearity) gate: minimum variance along the plane's
+    # MIDDLE principal axis. A near-collinear point set (e.g. a single
+    # grazing-incidence elevation ring crossing a voxel) has two tiny
+    # eigenvalues — the λ₀ check passes but the normal within the plane
+    # perpendicular to the line is arbitrary, and those garbage normals
+    # systematically drag the estimate in degenerate corridors (found via
+    # the r3 canyon CV-mode velocity collapse). (3 cm)² rejects single-ring
+    # fits while keeping genuine two-ring wall patches.
+    plane_mid_var_thresh: float = 1e-3
     max_points_per_voxel: float = 1000.0  # moment saturation cap
 
 
@@ -280,7 +289,11 @@ def _fit_planes(m: VoxelMap, cfg: VoxelMapConfig, slots):
     center = _voxel_center(m.coords[sl], cfg.voxel_size)
     mean_world = center + mean_rel
     d = -jnp.sum(normal * mean_world, axis=-1)
-    valid = (c >= cfg.min_points) & (lam[..., 0] < cfg.plane_var_thresh)
+    valid = (
+        (c >= cfg.min_points)
+        & (lam[..., 0] < cfg.plane_var_thresh)
+        & (lam[..., 1] > cfg.plane_mid_var_thresh)
+    )
     return normal, d, valid.astype(jnp.int32)
 
 
@@ -348,7 +361,12 @@ def query_planes_merged(m: VoxelMap, cfg: VoxelMapConfig, xyz, mask):
     normal, lam = smallest_eigvec3(cov)
     mean_world = c0 + mean
     d = -jnp.sum(normal * mean_world, axis=-1)
-    valid = mask & (tot_c >= cfg.min_points) & (lam[..., 0] < cfg.plane_var_thresh)
+    valid = (
+        mask
+        & (tot_c >= cfg.min_points)
+        & (lam[..., 0] < cfg.plane_var_thresh)
+        & (lam[..., 1] > cfg.plane_mid_var_thresh)
+    )
     return normal, d, valid
 
 
@@ -399,7 +417,12 @@ def query_planes_merged2(m: VoxelMap, cfg: VoxelMapConfig, xyz, mask):
     normal, lam = smallest_eigvec3(cov)
     mean_world = c0 + mean
     d = -jnp.sum(normal * mean_world, axis=-1)
-    valid = mask & (tot_c >= cfg.min_points) & (lam[..., 0] < cfg.plane_var_thresh)
+    valid = (
+        mask
+        & (tot_c >= cfg.min_points)
+        & (lam[..., 0] < cfg.plane_var_thresh)
+        & (lam[..., 1] > cfg.plane_mid_var_thresh)
+    )
     return normal, d, valid
 
 
@@ -455,7 +478,12 @@ def query_planes_merged3(m: VoxelMap, cfg: VoxelMapConfig, xyz, mask):
     normal, lam = smallest_eigvec3(cov)
     mean_world = c0 + mean
     d = -jnp.sum(normal * mean_world, axis=-1)
-    valid = mask & (tot_c >= cfg.min_points) & (lam[..., 0] < cfg.plane_var_thresh)
+    valid = (
+        mask
+        & (tot_c >= cfg.min_points)
+        & (lam[..., 0] < cfg.plane_var_thresh)
+        & (lam[..., 1] > cfg.plane_mid_var_thresh)
+    )
     return normal, d, valid
 
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ..core.eigh3 import eigh3
 from ..map import voxel_hash as vh
 from .state import NavState, OdomConfig, boxplus, boxminus
 
@@ -91,6 +92,34 @@ def iekf_update(
         Aw = A * w[:, None]
         G = A.T @ Aw  # Gram — MXU matmul over the point axis
         bvec = Aw.T @ r
+        if cfg.degen_rel_thresh > 0.0:
+            # degeneracy-aware solution remapping (Zhang & Singh ICRA'16):
+            # eigendecompose the world-frame translation block of the
+            # measurement Gram; directions with mean cos² below threshold
+            # carry no genuine constraint (corridor walls ⊥ the street
+            # observe nothing along it — whatever tiny gradient remains is
+            # grazing-incidence artifact). Project the measurement system
+            # onto the observable subspace so the MAP solve keeps the
+            # prediction along degenerate axes. (Extrinsic columns stay
+            # untouched: they are frozen unless extrinsic_est_en.)
+            Gt = G[3:6, 3:6]
+            lam, V = eigh3(Gt)  # closed form — no LAPACK on TPU
+            scale = jnp.maximum(
+                n_matched.astype(jnp.float32) * inv_R, 1e-6
+            )
+            keep = (lam > cfg.degen_rel_thresh * scale).astype(jnp.float32)
+            # closed-form eigenvectors are only reliable when eigenvalues
+            # separate; when nothing is dropped the projector is exactly I,
+            # and when something is dropped the kept/dropped split is
+            # separated by the threshold
+            proj = jnp.where(
+                jnp.all(keep > 0.5),
+                jnp.eye(3, dtype=G.dtype),
+                (V * keep[None, :]) @ V.T,
+            )
+            Q = jnp.eye(G.shape[0], dtype=G.dtype).at[3:6, 3:6].set(proj)
+            G = Q @ G @ Q
+            bvec = Q @ bvec
         ii = jnp.asarray(col_idx)
         HtRH = jnp.zeros((24, 24), jnp.float32).at[jnp.ix_(ii, ii)].set(G)
         Htr = jnp.zeros((24,), jnp.float32).at[ii].set(bvec)

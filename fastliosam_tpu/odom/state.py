@@ -69,6 +69,14 @@ class OdomConfig(NamedTuple):
     cv_rot_cov: float = 0.05
     cv_pos_cov: float = 0.5
     cv_vel_cov: float = 5.0
+    # degeneracy-aware solution remapping (Zhang & Singh, ICRA'16): drop
+    # the LiDAR update along translation directions whose measurement-Gram
+    # eigenvalue, normalized to mean-cos² units (λ / (n_matched/point_cov)),
+    # falls below this — the prediction coasts along unobservable axes
+    # instead of chasing spurious gradients (corridors/urban canyons:
+    # grazing-incidence artifacts otherwise erode velocity scan by scan).
+    # 0 disables.
+    degen_rel_thresh: float = 5e-3
 
     def ext_R(self):
         return jnp.asarray(self.extrinsic_R, jnp.float32).reshape(3, 3)

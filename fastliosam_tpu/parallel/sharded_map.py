@@ -149,8 +149,11 @@ def query_planes_merged3_sharded(
         normal, lam = smallest_eigvec3(cov)
         mean_world = c0 + mean
         d = -jnp.sum(normal * mean_world, axis=-1)
-        valid = msk & (tot_c >= cfg.min_points) & (
-            lam[..., 0] < cfg.plane_var_thresh
+        valid = (
+            msk
+            & (tot_c >= cfg.min_points)
+            & (lam[..., 0] < cfg.plane_var_thresh)
+            & (lam[..., 1] > cfg.plane_mid_var_thresh)
         )
         return normal, d, valid
 

@@ -98,8 +98,15 @@ def drive_kitti(engine, root: str, seq: str = "00", scan_capacity: int = 65536,
     }
     gt = seq_obj.gt_poses()
     if gt is not None:
+        from ..eval import align_umeyama
+
+        # the filter runs in its own odometry frame (first body frame);
+        # KITTI ground truth is in the sequence frame — rigidly align
+        # before ATE, TUM-benchmark style (no scale)
         est = np.stack(engine.realtime_traj)[:S, :3, 3]
         g = gt[:S, :3, 3]
+        _, R, t = align_umeyama(est, g)
+        est = est @ R.T + t
         out["ate_m"] = round(
             float(np.sqrt(np.mean(np.sum((est - g) ** 2, axis=1)))), 4
         )

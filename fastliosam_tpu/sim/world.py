@@ -285,11 +285,20 @@ class Trajectory:
 
     @staticmethod
     def circuit(a=60.0, b=60.0, corner_r=10.0, speed=8.0, z=1.7,
-                z_amp=0.05, z_period=5.0) -> "Trajectory":
+                z_amp=0.05, z_period=5.0, ramp_t=0.0,
+                s_start=0.0) -> "Trajectory":
         """Arc-length-parametric rounded-rectangle street circuit (CCW),
         yaw along the tangent. Straights are constant-yaw; corners are
         yaw-rate spikes (v/r ≈ 0.8 rad/s at the defaults). Loops close
-        every lap. Pairs with :meth:`PlaneWorld.city`."""
+        every lap. Pairs with :meth:`PlaneWorld.city`.
+
+        ``ramp_t > 0`` starts from rest and accelerates linearly to
+        ``speed`` over that many seconds (C¹ arc length — real drives, and
+        real KITTI sequences, start from rest; a zero-velocity filter init
+        is only fair against a from-rest feed). ``s_start`` offsets the
+        start position along the circuit (meters of arc length) — e.g. to
+        begin on a textured street instead of inside the featureless
+        +x canyon segment."""
         r = corner_r
         Lx, Ly = 2 * (a - r), 2 * (b - r)
         Q = np.pi * r / 2.0
@@ -299,8 +308,15 @@ class Trajectory:
         s0 = np.cumsum([0, Ly, Q, Lx, Q, Ly, Q, Lx])
         wz = 2 * np.pi / z_period
 
+        def dist(t):
+            if ramp_t <= 0.0:
+                return speed * t
+            if t < ramp_t:
+                return 0.5 * speed * t * t / ramp_t
+            return speed * (t - 0.5 * ramp_t)
+
         def pose(t):
-            s = (speed * t) % P
+            s = (s_start + dist(t)) % P
             if s < s0[1]:  # right street, heading +y
                 x, y, yaw = a, -(b - r) + s, np.pi / 2
             elif s < s0[2]:
@@ -439,7 +455,14 @@ def _ray_dirs(cfg: SimConfig):
         ],
         axis=-1,
     ).reshape(-1, 3)
-    t_frac = (azg / (2 * np.pi)).reshape(-1)  # fraction of the sweep
+    # Sweep timing follows the real Velodyne convention — CLOCKWISE (viewed
+    # from above) starting at -x — the same model `io/kitti.py`
+    # `_azimuth_time_offsets` uses to reconstruct per-point times from
+    # KITTI bins (which carry none). A synthetic written to KITTI format
+    # and read back through that reconstruction must agree with it, or the
+    # deskew runs time-reversed and odometry drifts backward (found via
+    # the r3 KITTI long-run divergence).
+    t_frac = ((np.pi - azg) % (2 * np.pi) / (2 * np.pi)).reshape(-1)
     return d, t_frac
 
 

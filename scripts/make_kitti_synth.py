@@ -30,7 +30,14 @@ def generate(out_root, seq="00", n_scans=1160, n_azimuth=2048, n_elev=16,
 
     world = PlaneWorld.city(a=60.0, b=60.0, street_w=12.0, wall_h=8.0,
                             n_clutter=24, seed=seed)
-    traj = Trajectory.circuit(a=60.0, b=60.0, corner_r=10.0, speed=8.0)
+    # start from rest on the textured bottom street (real KITTI drives
+    # start from rest; the featureless +x canyon is entered mid-run at
+    # speed, once the LiDAR-only filter has locked its velocity)
+    r = 10.0
+    Ly, Lx, Q = 2 * (60.0 - r), 2 * (60.0 - r), np.pi * r / 2.0
+    s_bottom = Ly + Q + Lx + Q + Ly + Q
+    traj = Trajectory.circuit(a=60.0, b=60.0, corner_r=10.0, speed=8.0,
+                              ramp_t=4.0, s_start=s_bottom)
     cfg = SimConfig(
         scan_rate=10.0, n_azimuth=n_azimuth, n_elev=n_elev,
         max_range=max_range, gyro_noise=0.001, acc_noise=0.01,
