@@ -25,15 +25,24 @@ from ..map import voxel_hash as vh
 from .state import NavState, OdomConfig, boxplus, boxminus
 
 
-def _query_planes(x, pts_body, mask, vmap, map_cfg, cfg: OdomConfig):
+def _query_planes(x, pts_body, mask, vmap, map_cfg, cfg: OdomConfig,
+                  query_fn=None):
+    """Returns ``(normal, d, valid, rvar)`` — rvar is the per-point
+    residual-variance inflation from surfel-fit uncertainty (0 for the
+    cached single-voxel mode, whose stored planes carry no moment
+    record). ``query_fn`` overrides the map query (the multi-device
+    slot-sharded map, `parallel/sharded_odom.py`)."""
     pw = pts_body @ x.R.T + x.p
+    if query_fn is not None:
+        return query_fn(vmap, map_cfg, pw, mask)
     if cfg.query_mode == "merged":
         return vh.query_planes_merged(vmap, map_cfg, pw, mask)
     if cfg.query_mode == "merged2":
         return vh.query_planes_merged2(vmap, map_cfg, pw, mask)
     if cfg.query_mode == "merged3":
         return vh.query_planes_merged3(vmap, map_cfg, pw, mask)
-    return vh.query_planes(vmap, map_cfg, pw, mask)
+    n, d, valid = vh.query_planes(vmap, map_cfg, pw, mask)
+    return n, d, valid, jnp.zeros(valid.shape, jnp.float32)
 
 
 def iekf_update(
@@ -43,6 +52,7 @@ def iekf_update(
     vmap: vh.VoxelMap,
     map_cfg: vh.VoxelMapConfig,
     cfg: OdomConfig,
+    query_fn=None,
 ):
     """Iterated MAP update. Returns ``(state, n_matched)``.
 
@@ -57,7 +67,9 @@ def iekf_update(
     n_matched = jnp.zeros((), jnp.int32)
     inv_R = 1.0 / cfg.point_cov
 
-    plane_n, plane_d, assoc = _query_planes(x, pts_body, mask, vmap, map_cfg, cfg)
+    plane_n, plane_d, assoc, rvar = _query_planes(
+        x, pts_body, mask, vmap, map_cfg, cfg, query_fn
+    )
 
     # LiDAR-frame points, recovered once through the propagated extrinsic —
     # the measurement model below re-applies the *current* extrinsic each
@@ -69,14 +81,19 @@ def iekf_update(
     for it in range(cfg.max_iteration):
         q_b = p_l @ x.R_ext.T + x.t_ext if cfg.extrinsic_est_en else pts_body
         if 0 < it <= cfg.requery_iters:
-            plane_n, plane_d, assoc = _query_planes(
-                x, q_b, mask, vmap, map_cfg, cfg
+            plane_n, plane_d, assoc, rvar = _query_planes(
+                x, q_b, mask, vmap, map_cfg, cfg, query_fn
             )
         pw = q_b @ x.R.T + x.p
         n = plane_n
         r = jnp.sum(n * pw, axis=-1) + plane_d
         valid = assoc & (jnp.abs(r) < cfg.max_residual)
-        w = valid.astype(jnp.float32) * inv_R
+        # heteroscedastic rows: each point weighted by the inverse of
+        # (sensor noise + surfel-fit uncertainty at the query offset) —
+        # see voxel_hash._fit_rvar. Garbage associations (query between
+        # the rings of a near-collinear fit) self-attenuate; sound ones
+        # keep ~full weight.
+        w = valid.astype(jnp.float32) / (cfg.point_cov + rvar)
         n_matched = jnp.sum(valid.astype(jnp.int32))
         # sparse Jacobian rows: A = [dr/dδθ, dr/dδp(, dr/dδθ_ext, dr/dδt_ext)]
         v = n @ x.R  # Rᵀ n per point
@@ -104,14 +121,23 @@ def iekf_update(
             # untouched: they are frozen unless extrinsic_est_en.)
             Gt = G[3:6, 3:6]
             lam, V = eigh3(Gt)  # closed form — no LAPACK on TPU
-            scale = jnp.maximum(
-                n_matched.astype(jnp.float32) * inv_R, 1e-6
+            # normalize eigenvalues by the total measurement weight (the
+            # conf-weighted analog of n_matched·inv_R)
+            scale = jnp.maximum(jnp.sum(w), 1e-6)
+            thr = cfg.degen_rel_thresh * scale
+            keep0 = lam > thr
+            # hysteresis: closed-form eigenvectors are only reliable when
+            # the kept/dropped spectra genuinely separate — two eigenvalues
+            # straddling the threshold arbitrarily closely would make the
+            # projector keep/drop an essentially arbitrary direction inside
+            # the near-degenerate 2-space. Require every kept eigenvalue to
+            # clear 2× the largest dropped one; borderline directions are
+            # dropped too (conservative coast along them this iteration).
+            dropped_max = jnp.max(jnp.where(keep0, 0.0, lam))
+            keep = (lam > jnp.maximum(thr, 2.0 * dropped_max)).astype(
+                jnp.float32
             )
-            keep = (lam > cfg.degen_rel_thresh * scale).astype(jnp.float32)
-            # closed-form eigenvectors are only reliable when eigenvalues
-            # separate; when nothing is dropped the projector is exactly I,
-            # and when something is dropped the kept/dropped split is
-            # separated by the threshold
+            # when nothing is dropped the projector is exactly I
             proj = jnp.where(
                 jnp.all(keep > 0.5),
                 jnp.eye(3, dtype=G.dtype),

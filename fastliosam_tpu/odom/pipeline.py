@@ -80,12 +80,15 @@ def odom_step(
     scan_dt,
     cfg: OdomConfig,
     map_cfg: vh.VoxelMapConfig,
+    map_ops=None,
 ):
     """Advance odometry by one scan. Fully jittable with static cfgs.
 
     Returns ``(new_state, aux)`` where aux carries the world pose (R, p),
     the deskewed world-frame downsampled cloud (the `/cloud_registered`
-    analog), and diagnostics.
+    analog), and diagnostics. ``map_ops`` (query, insert, evict) overrides
+    the map backend — the slot-sharded multi-device map
+    (`parallel/sharded_odom.py: sharded_map_ops`) plugs in here.
     """
     scan = _preprocess(scan, cfg)
 
@@ -149,7 +152,10 @@ def odom_step(
 
     # --- iterated update (identity when the map is still empty: zero valid
     # matches make the MAP step collapse to the propagated state) ---
-    nav_upd, n_matched = iekf_update(nav_prop, pts, msk, state.vmap, map_cfg, cfg)
+    nav_upd, n_matched = iekf_update(
+        nav_prop, pts, msk, state.vmap, map_cfg, cfg,
+        query_fn=None if map_ops is None else map_ops.query,
+    )
     # LiDAR-only: velocity/angular rate are unobservable through the
     # (absent) IMU model — re-estimate both from the pose correction for
     # the next coordinated-turn prediction
@@ -163,21 +169,33 @@ def odom_step(
     from ..core import so3
 
     w_fd = so3.log(state.nav.R.T @ nav_new.R) / jnp.maximum(scan_dt, 1e-3)
+    # clamp to a plausible vehicle rate: a single bad-association attitude
+    # jump would otherwise rotate both the predicted attitude AND the
+    # body-velocity direction next scan (the spurious-correction feedback
+    # loop the degeneracy remapping targets, via the attitude channel)
+    w_mag = jnp.linalg.norm(w_fd)
+    w_fd = w_fd * jnp.minimum(
+        1.0, cfg.cv_max_rate / jnp.maximum(w_mag, 1e-9)
+    )
     w_cv_new = jnp.where(has_imu, state.w_cv, w_fd)
 
     # --- map insert of the updated world-frame cloud (cached-plane refit
     # only needed when some query path reads cached planes) ---
     pw = pts @ nav_new.R.T + nav_new.p
-    vmap_new, n_dropped = vh.insert(
-        state.vmap, map_cfg, pw, msk,
-        refresh_planes=(cfg.query_mode == "cached"),
-    )
+    if map_ops is None:
+        vmap_new, n_dropped = vh.insert(
+            state.vmap, map_cfg, pw, msk,
+            refresh_planes=(cfg.query_mode == "cached"),
+        )
+    else:
+        vmap_new, n_dropped = map_ops.insert(state.vmap, map_cfg, pw, msk)
 
     # --- periodic FoV-sliding eviction ---
     do_evict = (state.scan_idx % cfg.evict_every) == (cfg.evict_every - 1)
+    evict = vh.evict_far if map_ops is None else map_ops.evict
     vmap_new = jax.lax.cond(
         do_evict,
-        lambda m: vh.evict_far(m, map_cfg, nav_new.p, cfg.det_range),
+        lambda m: evict(m, map_cfg, nav_new.p, cfg.det_range),
         lambda m: m,
         vmap_new,
     )

@@ -69,6 +69,10 @@ class OdomConfig(NamedTuple):
     cv_rot_cov: float = 0.05
     cv_pos_cov: float = 0.5
     cv_vel_cov: float = 5.0
+    # clamp on the turn rate re-estimated from consecutive corrections
+    # (rad/s): one bad-association attitude jump must not become the next
+    # scan's predicted rotation
+    cv_max_rate: float = 2.0
     # degeneracy-aware solution remapping (Zhang & Singh, ICRA'16): drop
     # the LiDAR update along translation directions whose measurement-Gram
     # eigenvalue, normalized to mean-cos² units (λ / (n_matched/point_cov)),

@@ -12,3 +12,9 @@ from .sharded_loop import (  # noqa: F401
     gather_submap_sharded,
     icp_align_sharded,
 )
+from .sharded_odom import (  # noqa: F401
+    MapOps,
+    evict_far_sharded,
+    shard_map_arrays,
+    sharded_map_ops,
+)

@@ -45,6 +45,7 @@ from ..map.voxel_hash import (
     make_map,
 )
 from ..core.eigh3 import smallest_eigvec3
+from ..map.voxel_hash import _fit_rvar
 
 _NO_MATCH = 127  # probe-offset sentinel (> any real probe window)
 
@@ -84,7 +85,8 @@ def query_planes_merged3_sharded(
     m: VoxelMap, cfg: VoxelMapConfig, xyz, mask, mesh: Mesh, axis: str = "kf"
 ):
     """Sharded-map equivalent of `voxel_hash.query_planes_merged3`:
-    replicated points, slot-sharded tables, replicated (normal, d, valid)."""
+    replicated points, slot-sharded tables, replicated
+    (normal, d, valid, rvar)."""
     cap = cfg.capacity
     n_dev = mesh.shape[axis]
     assert cap % n_dev == 0
@@ -94,7 +96,7 @@ def query_planes_merged3_sharded(
         jax.shard_map,
         mesh=mesh,
         in_specs=(P(axis), P(axis, None), P(), P()),
-        out_specs=(P(), P(), P()),
+        out_specs=(P(), P(), P(), P()),
         check_vma=False,
     )
     def f(fp_l, mom_l, pts, msk):
@@ -153,9 +155,9 @@ def query_planes_merged3_sharded(
             msk
             & (tot_c >= cfg.min_points)
             & (lam[..., 0] < cfg.plane_var_thresh)
-            & (lam[..., 1] > cfg.plane_mid_var_thresh)
         )
-        return normal, d, valid
+        return normal, d, valid, _fit_rvar(
+            pts, mean_world, cov, normal, lam, tot_c, cfg)
 
     return f(m.fp, m.moments, xyz, mask)
 

@@ -14,4 +14,5 @@ from .solver import (  # noqa: F401
     graph_cost,
     marginal_covariance,
     extrapolate_pose_cov,
+    rotate_cov_to_world,
 )

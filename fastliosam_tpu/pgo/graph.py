@@ -46,6 +46,13 @@ class PoseGraphConfig(NamedTuple):
     # `ISAM2::marginalCovariance` analog needs actual inverse entries, not
     # just a descent direction, so it gets a deeper budget than the LM stage)
     marginal_pcg_iters: int = 256
+    # robust GPS residuals: Huber threshold in WHITENED units (multiples of
+    # the factor's sigma); 0 disables (= reference fidelity: plain L2 GPS
+    # factors, `gtsam::GPSFactor` with `max(noise, 1.0)` floored variances,
+    # fast_lio_sam.cpp:249-252 — measured to let meter-noise fixes yank a
+    # cm-accurate trajectory by ~0.3 m, DESIGN §2f). IRLS: each LM
+    # iteration re-weights sqrt-info by sqrt(min(1, delta/|r_w|)).
+    gps_huber_delta: float = 0.0
 
 
 class PoseGraph(NamedTuple):

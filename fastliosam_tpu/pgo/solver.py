@@ -56,10 +56,20 @@ def _between_residuals(g: PoseGraph):
     return rw, Ji, Jj
 
 
-def _gps_residuals(g: PoseGraph):
+def _gps_residuals(g: PoseGraph, cfg: PoseGraphConfig | None = None):
     Ti = g.poses[g.gps_idx]
     r0 = se3.trans(Ti) - g.gps_xyz  # (G, 3)
     w = g.gps_sqrt_info * g.gps_valid[:, None]
+    if cfg is not None and cfg.gps_huber_delta > 0.0:
+        # IRLS Huber on the whitened residual norm (computed at the
+        # current linearization): factors whose whitened error exceeds
+        # delta sigmas contribute linearly, not quadratically, so a noisy
+        # fix cannot yank a stiff odometry chain (gps_huber_delta doc)
+        rn = jnp.linalg.norm(w * r0, axis=-1)
+        hub = jnp.sqrt(
+            jnp.minimum(1.0, cfg.gps_huber_delta / jnp.maximum(rn, _EPS))
+        )
+        w = w * hub[:, None]
     # d trans(T Exp(xi))/d xi = [R, 0]
     J = jnp.concatenate(
         [se3.rot(Ti), jnp.zeros_like(se3.rot(Ti))], axis=-1
@@ -81,7 +91,7 @@ def graph_cost(g: PoseGraph, cfg: PoseGraphConfig, prior_pose=None):
     if prior_pose is None:
         prior_pose = jnp.eye(4, dtype=jnp.float32)
     rb, _, _ = _between_residuals(g)
-    rg, _ = _gps_residuals(g)
+    rg, _ = _gps_residuals(g, cfg)
     rp, _ = _prior_residual(g, cfg, prior_pose)
     return 0.5 * (jnp.sum(rb * rb) + jnp.sum(rg * rg) + jnp.sum(rp * rp))
 
@@ -96,7 +106,7 @@ def _assemble_dense(g: PoseGraph, cfg: PoseGraphConfig, prior_pose):
     """
     K = g.poses.shape[0]
     rb, Ji, Jj = _between_residuals(g)
-    rg, Jg = _gps_residuals(g)
+    rg, Jg = _gps_residuals(g, cfg)
     rp, Jp = _prior_residual(g, cfg, prior_pose)
 
     # flat (K*K, 6, 6) block storage with single-depth scatter indices —
@@ -142,7 +152,7 @@ def _linearize(g: PoseGraph, cfg: PoseGraphConfig, prior_pose):
     """Compute b = -JᵀWr, per-pose diagonal Hessian blocks, and a matvec."""
     K = g.poses.shape[0]
     rb, Ji, Jj = _between_residuals(g)
-    rg, Jg = _gps_residuals(g)
+    rg, Jg = _gps_residuals(g, cfg)
     rp, Jp = _prior_residual(g, cfg, prior_pose)
 
     b = jnp.zeros((K, 6), jnp.float32)
@@ -303,6 +313,21 @@ def marginal_covariance(g: PoseGraph, cfg: PoseGraphConfig, idx,
     return 0.5 * (cov + cov.T)
 
 
+def rotate_cov_to_world(cov6, R):
+    """Conjugate a [trans, rot] right-perturbation tangent covariance into
+    the world frame. The marginal from :func:`marginal_covariance` lives in
+    the keyframe's local tangent frame (``d trans(T Exp(xi))/d xi = [R, 0]``
+    — a perturbation ``[δt, δθ]`` moves the world position by ``R δt`` and
+    the world attitude by ``R δθ``), so the world covariance is
+    ``blkdiag(R, R) · cov6 · blkdiag(R, R)ᵀ``. Required before feeding the
+    x/y/yaw entries to :func:`extrapolate_pose_cov`, whose displacement
+    input is world-frame: once the keyframe has turned, the local axes no
+    longer align with world x/y and the cross-term signs flip."""
+    Z = jnp.zeros((3, 3), cov6.dtype)
+    J = jnp.block([[R, Z], [Z, R]])
+    return J @ cov6 @ J.T
+
+
 def extrapolate_pose_cov(cov6, dk, path_len, dxy, trans_var, rot_var):
     """First-order dead-reckoning extrapolation of the x/y translation
     marginal variances ``dk`` keyframes past the last solve (host-side
@@ -322,10 +347,18 @@ def extrapolate_pose_cov(cov6, dk, path_len, dxy, trans_var, rot_var):
       4. yaw noise injected after the solve, each step levered by the
          remaining path                                σ_ψstep²·d̄²·Σm²
 
+    ``cov6`` and ``dxy`` must share a frame: pass the solve keyframe's
+    marginal through :func:`rotate_cov_to_world` first (``dxy`` is a
+    world-frame displacement).
+
     Exact on a straight odometry chain (verified against the dense
-    marginal in ``test_pose_cov_extrapolation_matches_truth``); on curved
-    paths the straight-line lever is an approximation of the true
-    integral. Returns the (2,) extrapolated x/y variances.
+    marginal in ``test_pose_cov_extrapolation_matches_truth``, including a
+    turned solve keyframe); on curved paths the straight-line lever is an
+    approximation of the true integral, and on loop-backs (net displacement
+    ≪ path length) the lever is bounded isotropically by the path
+    half-length instead — the net Δp understates the excursion the yaw
+    error was actually levered over. Returns the (2,) extrapolated x/y
+    variances.
     """
     import numpy as np
 
@@ -342,8 +375,17 @@ def extrapolate_pose_cov(cov6, dk, path_len, dxy, trans_var, rot_var):
     # Σ_{m=0}^{dk-1} m² — lever of per-step yaw noise over the remaining path
     s2 = (dk - 1) * dk * (2 * dk - 1) / 6.0
     walk = rot_var * dbar * dbar * s2
-    frac_x = dy * dy / norm2 if norm2 > 1e-12 else 0.0
-    frac_y = dx * dx / norm2 if norm2 > 1e-12 else 0.0
+    if norm2 < 0.25 * path_len * path_len:
+        # loop-back regime: |Δp| ≪ path length, so the straight-line lever
+        # collapses (dxy→0 would zero the yaw terms and underestimate the
+        # accumulated error). Bound the solve-time yaw lever by the path
+        # half-length, split isotropically; cross terms have no usable sign
+        # here and are omitted.
+        lev2 = 0.25 * path_len * path_len
+        var += dk * trans_var + 0.5 * lev2 * yaw_var + 0.5 * walk
+        return var
+    frac_x = dy * dy / norm2
+    frac_y = dx * dx / norm2
     # δx = -ψ·Δp_y, δy = +ψ·Δp_x (z-rotation of the displacement)
     var[0] += dk * trans_var + dy * dy * yaw_var - 2.0 * dy * cov_x_yaw \
         + frac_x * walk

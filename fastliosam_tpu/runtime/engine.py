@@ -209,9 +209,18 @@ class SlamEngine:
             donate_argnums=(0,),
         )
         self._jit_solve = jax.jit(lambda g: solve(g, self.pgo_cfg))
+        # world-frame marginal: the raw 6×6 lives in the keyframe's local
+        # tangent frame; the GPS-gate extrapolation levers it against a
+        # world-frame displacement, so conjugate by the keyframe rotation
+        # before readback (pgo.rotate_cov_to_world)
+        from ..pgo import rotate_cov_to_world
+
         self._jit_marginal = jax.jit(
             lambda g, i: (
-                marginal_covariance(g, self.pgo_cfg, i),
+                rotate_cov_to_world(
+                    marginal_covariance(g, self.pgo_cfg, i),
+                    se3.rot(g.poses[i]),
+                ),
                 se3.trans(g.poses[i]),
             )
         )

@@ -121,9 +121,11 @@ def main():
         pos = jnp.asarray(rng.uniform(-500, 500, (K, 3)).astype(np.float32))
         st = jnp.asarray(np.arange(K) * 0.5, jnp.float32)
         va = jnp.ones((K,), bool)
-        f = jax.jit(lambda p, q: detect_sharded(
-            p, st, va, q, 35.0, 30.0, mesh))
-        return timeit(f, pos, jnp.int32(K - 1))
+        # engine fast path: query row passed replicated (no broadcast psum)
+        qrow = jnp.concatenate([pos[K - 1], st[K - 1:K]])
+        f = jax.jit(lambda p, q, qr: detect_sharded(
+            p, st, va, q, 35.0, 30.0, mesh, query_row=qr))
+        return timeit(f, pos, jnp.int32(K - 1), qrow)
 
     sweep("loop_detect", args.sizes, det_single, det_sharded,
           lambda K: 4 * 4 + 2 * 4 * max(args.devices))  # qrow psum + packed gather
@@ -171,7 +173,7 @@ def main():
           lambda K: 4 * 64 * (K * 6 * 4 + 8))  # per-LM: pcg_iters psums of (K,6)
 
     # ---- voxel map query (slot-sharded) ------------------------------
-    N_Q = 4096
+    N_Q = 8192
 
     def vm_tables(cap_log2):
         cfg = VoxelMapConfig(capacity=1 << cap_log2, voxel_size=0.5,
@@ -181,7 +183,7 @@ def main():
         return cfg, jnp.asarray(pts), jnp.ones((N_Q,), bool)
 
     def vmq_single(K):
-        cap_log2 = max(14, int(np.log2(K)) + 3)
+        cap_log2 = max(14, int(np.log2(K)) + 5)
         cfg, pts, msk = vm_tables(cap_log2)
         m = make_map(cfg)
         m, _ = insert(m, cfg, pts, msk, refresh_planes=False)
@@ -189,7 +191,7 @@ def main():
         return timeit(f, pts)
 
     def vmq_sharded(K, mesh):
-        cap_log2 = max(14, int(np.log2(K)) + 3)
+        cap_log2 = max(14, int(np.log2(K)) + 5)
         cfg, pts, msk = vm_tables(cap_log2)
         m = make_map_sharded(cfg, mesh)
         m, _ = insert_sharded(m, cfg, pts, msk, mesh)

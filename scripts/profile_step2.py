@@ -147,7 +147,8 @@ if on("query"):
     def prog_query():
         def f(st, p):
             def body(c, _):
-                n, d, v = query_planes_merged3(st.vmap, map_cfg, c, mask_ds)
+                n, d, v, _cf = query_planes_merged3(
+                    st.vmap, map_cfg, c, mask_ds)
                 return c + n * 1e-9, d
             y, _ = jax.lax.scan(body, p, None, length=R)
             return y

@@ -89,7 +89,7 @@ def test_query_empty_map(rng):
     q = jnp.asarray(rng.normal(size=(64, 3)).astype(np.float32))
     mask = jnp.ones((64,), bool)
     for fn in (query_planes, query_planes_merged):
-        n, d, valid = fn(m, cfg, q, mask)
+        n, d, valid, *_conf = fn(m, cfg, q, mask)
         assert not bool(jnp.any(valid))
         assert np.all(np.isfinite(np.asarray(n)))
 

@@ -174,8 +174,11 @@ def test_sharded_voxel_map_matches_replicated(rng):
     )
 
     q = pts + jnp.asarray(rng.uniform(-0.2, 0.2, (n, 3)).astype(np.float32))
-    n_ref, d_ref, v_ref = query_planes_merged3(m_ref, cfg, q, mask)
-    n_sh, d_sh, v_sh = query_planes_merged3_sharded(m_sh, cfg, q, mask, mesh)
+    n_ref, d_ref, v_ref, c_ref = query_planes_merged3(m_ref, cfg, q, mask)
+    n_sh, d_sh, v_sh, c_sh = query_planes_merged3_sharded(
+        m_sh, cfg, q, mask, mesh)
+    np.testing.assert_allclose(
+        np.asarray(c_sh), np.asarray(c_ref), rtol=1e-5, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(v_sh), np.asarray(v_ref))
     vr = np.asarray(v_ref)
     np.testing.assert_allclose(
@@ -194,4 +197,95 @@ def test_sharded_voxel_map_matches_replicated(rng):
     np.testing.assert_allclose(
         np.asarray(m_sh2.moments), np.asarray(m_ref2.moments),
         rtol=1e-6, atol=1e-5,
+    )
+
+
+def test_sharded_odom_step_matches_replicated(rng):
+    """Full odometry steps over the slot-sharded voxel map (VERDICT r3 #5):
+    the SAME odom_step program with the sharded map backend (query + insert
+    + FoV eviction across the 8-device mesh) reproduces the replicated
+    trajectory. This is the MulRan-Riverside N>=2-host configuration's
+    odometry path (BASELINE.json config #5)."""
+    from fastliosam_tpu.map import VoxelMapConfig
+    from fastliosam_tpu.odom import (
+        ImuBatch, OdomConfig, Scan, init_odom, odom_step,
+    )
+    from fastliosam_tpu.parallel import shard_map_arrays, sharded_map_ops
+
+    mesh = make_mesh(8)
+    map_cfg = VoxelMapConfig(capacity=1 << 13, voxel_size=0.5, min_points=4)
+    odom_cfg = OdomConfig(
+        point_filter_num=1, blind=0.1, num_ds_points=512,
+        max_imu_per_scan=4, query_mode="merged3", evict_every=3,
+        det_range=60.0,
+    )
+    n_pts, n_imu, n_steps = 1024, 4, 4
+
+    def mk_scan(k):
+        r = np.random.default_rng(100 + k)
+        # two walls + floor so planes are valid and the update is exercised
+        pts = np.concatenate([
+            np.stack([r.uniform(-8, 8, 400), r.uniform(-8, 8, 400),
+                      np.full(400, -1.0)], 1),
+            np.stack([np.full(312, 8.0), r.uniform(-8, 8, 312),
+                      r.uniform(-1, 3, 312)], 1),
+            np.stack([r.uniform(-8, 8, 312), np.full(312, -8.0),
+                      r.uniform(-1, 3, 312)], 1),
+        ]).astype(np.float32)
+        return Scan(
+            xyz=jnp.asarray(pts),
+            t_offset=jnp.asarray(
+                np.linspace(0, 0.1, n_pts, endpoint=False).astype(np.float32)
+            ),
+            mask=jnp.ones((n_pts,), bool),
+        )
+
+    def mk_imu(k):
+        r = np.random.default_rng(200 + k)
+        return ImuBatch(
+            stamps=jnp.asarray(
+                np.linspace(0, 0.1, n_imu, endpoint=False).astype(np.float32)
+            ),
+            gyro=jnp.asarray(r.normal(size=(n_imu, 3)).astype(np.float32) * 0.01),
+            acc=jnp.asarray(
+                (r.normal(size=(n_imu, 3)) * 0.01 + [0, 0, 9.81]).astype(
+                    np.float32
+                )
+            ),
+            mask=jnp.ones((n_imu,), bool),
+        )
+
+    dt = jnp.float32(0.1)
+    step_ref = jax.jit(
+        lambda s, sc, im: odom_step(s, sc, im, dt, odom_cfg, map_cfg)
+    )
+    ops = sharded_map_ops(mesh)
+    step_sh = jax.jit(
+        lambda s, sc, im: odom_step(s, sc, im, dt, odom_cfg, map_cfg,
+                                    map_ops=ops)
+    )
+
+    s_ref = init_odom(map_cfg, odom_cfg)
+    s_sh = init_odom(map_cfg, odom_cfg)
+    s_sh = s_sh._replace(vmap=shard_map_arrays(s_sh.vmap, mesh))
+    for k in range(n_steps):
+        sc, im = mk_scan(k), mk_imu(k)
+        s_ref, aux_ref = step_ref(s_ref, sc, im)
+        s_sh, aux_sh = step_sh(s_sh, sc, im)
+        np.testing.assert_allclose(
+            np.asarray(aux_sh["p"]), np.asarray(aux_ref["p"]),
+            rtol=0, atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(aux_sh["R"]), np.asarray(aux_ref["R"]),
+            rtol=0, atol=1e-4,
+        )
+        assert int(aux_sh["n_matched"]) == int(aux_ref["n_matched"])
+    # map tables agree after inserts + the k=2 eviction pass
+    np.testing.assert_array_equal(
+        np.asarray(s_sh.vmap.fp), np.asarray(s_ref.vmap.fp)
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_sh.vmap.moments), np.asarray(s_ref.vmap.moments),
+        rtol=1e-5, atol=1e-4,
     )

@@ -54,7 +54,7 @@ def test_merged_query_matches_plane(rng):
     m = make_map(CFG)
     m, _ = insert(m, CFG, jnp.asarray(pts), jnp.ones((4000,), bool))
     qpts = plane_points(rng, 64, [0.3, -0.2, 1.0], 0.5)
-    normal, d, valid = query_planes_merged(
+    normal, d, valid, conf = query_planes_merged(
         m, CFG, jnp.asarray(qpts), jnp.ones((64,), bool)
     )
     normal, d, valid = map(np.asarray, (normal, d, valid))
@@ -147,7 +147,7 @@ def test_merged2_query_matches_plane(rng):
     m = make_map(CFG)
     m, _ = insert(m, CFG, jnp.asarray(pts), jnp.ones((4000,), bool))
     qpts = plane_points(rng, 64, [0.3, -0.2, 1.0], 0.5)
-    normal, d, valid = query_planes_merged2(
+    normal, d, valid, conf = query_planes_merged2(
         m, CFG, jnp.asarray(qpts), jnp.ones((64,), bool)
     )
     normal, d, valid = map(np.asarray, (normal, d, valid))
@@ -163,7 +163,7 @@ def test_merged3_query_matches_plane(rng):
     m = make_map(CFG)
     m, _ = insert(m, CFG, jnp.asarray(pts), jnp.ones((4000,), bool))
     qpts = plane_points(rng, 64, [0.3, -0.2, 1.0], 0.5)
-    normal, d, valid = query_planes_merged3(
+    normal, d, valid, conf = query_planes_merged3(
         m, CFG, jnp.asarray(qpts), jnp.ones((64,), bool)
     )
     normal, d, valid = map(np.asarray, (normal, d, valid))
@@ -172,7 +172,7 @@ def test_merged3_query_matches_plane(rng):
     assert np.median(res) < 0.05
     # the two chosen neighbors differ per point and never equal the center
     # (covered implicitly by the residual check; also sanity: masked query)
-    n2, d2, v2 = query_planes_merged3(
+    n2, d2, v2, c2 = query_planes_merged3(
         m, CFG, jnp.asarray(qpts), jnp.zeros((64,), bool)
     )
     assert not np.asarray(v2).any()
