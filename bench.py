@@ -394,16 +394,19 @@ def make_engine_for(data, raw_pts=RAW_PTS, chunk=5):
     )
 
 
-def _run_pipeline(engine, feed, gps_fixes=None):
-    """One full engine run over pre-staged chunks; returns wall seconds."""
+def _run_pipeline(engine, feed, gps_fixes=None, deferred=False):
+    """One full engine run over pre-staged chunks; returns wall seconds.
+    ``deferred`` uses the one-chunk-deep pipelined readback (the production
+    reader's mode, `SlamEngine.process_chunk_deferred`)."""
     from fastliosam_tpu.core import se3  # noqa: F401  (engine dep warm)
 
+    step = engine.process_chunk_deferred if deferred else engine.process_chunk
     t0 = time.perf_counter()
     for (scans, imus, stamps, dt, lo, hi) in feed:
         fixes = None
         if gps_fixes is not None:
             fixes = [f for f in gps_fixes if lo <= f.stamp < hi]
-        engine.process_chunk(scans, imus, stamps, dt, gps=fixes)
+        step(scans, imus, stamps, dt, gps=fixes)
     engine.finish()
     return time.perf_counter() - t0
 
@@ -470,9 +473,18 @@ def bench_pipeline(chunk=5):
     ate_rt, rpe_rt = _ate_rpe(rt, gt, dt)
     ate_raw, _ = _ate_rpe(raw, gt, dt)
     assert len(engine.loop_pairs) == warm_loops, "non-deterministic rerun"
+
+    # production mode: deferred (pipelined) readback — chunk k's host sync
+    # + chunk-tail loop/solve latency hide behind chunk k+1's execution
+    init_engine()
+    el_def = _run_pipeline(engine, feed, deferred=True)
+    rt_d = np.stack(engine.realtime_traj)[:, :3, 3]
+    ate_d, _ = _ate_rpe(rt_d, gt, dt)
     return {
-        "pipeline_scans_per_sec": round(sps, 2),
-        "pipeline_ate_m": round(ate_rt, 4),
+        "pipeline_scans_per_sec": round(n_fed / el_def, 2),
+        "pipeline_ate_m": round(ate_d, 4),
+        "pipeline_sync_scans_per_sec": round(sps, 2),
+        "pipeline_sync_ate_m": round(ate_rt, 4),
         "pipeline_rpe_1s_m": round(rpe_rt, 4),
         "odom_only_ate_m": round(ate_raw, 4),
         "pipeline_loops": len(engine.loop_pairs),
@@ -521,12 +533,24 @@ def _init_engine_at(engine, data):
 
 def bench_gps_degraded(engine, feed, data):
     """GPS fusion under degraded fixes: the middle third of the run reports
-    inflated covariance (> gps_cov_thres) and must be gated out."""
+    inflated covariance (> gps_cov_thres) and must be gated out, and the
+    good-third fixes must not yank the cm-accurate trajectory (r3 measured
+    0.27 m — 12x worse than GPS-off — from reference-fidelity L2 factors
+    with the max(noise,1.0) floor, fast_lio_sam.cpp:249-252). This run
+    uses the framework's robust options: Huber GPS residuals (2 sigma) +
+    covariance-weighted (unfloored) noise. DESIGN §2h has the fidelity-
+    default numbers."""
     fixes = _fixes_from_data(data, degrade_middle=True)
     _init_engine_at(engine, data)
-    engine.cfg = engine.cfg._replace(use_gps=True, gps_dist_thres=2.0)
+    # gps_huber_delta is baked into the solve trace: rebuild programs (the
+    # chunk program HLO is unchanged -> persistent-cache hit; only the
+    # solver recompiles)
+    engine.pgo_cfg = engine.pgo_cfg._replace(gps_huber_delta=2.0)
+    engine._build_programs()
+    engine.cfg = engine.cfg._replace(
+        use_gps=True, gps_dist_thres=2.0, gps_noise_floor=0.25)
     _run_pipeline(engine, feed, gps_fixes=fixes)
-    engine.cfg = engine.cfg._replace(use_gps=False)
+    engine.cfg = engine.cfg._replace(use_gps=False, gps_noise_floor=1.0)
     rt = np.stack(engine.realtime_traj)[:, :3, 3]
     gt = data["gt_p"][: len(rt)]
     ate, _ = _ate_rpe(rt, gt, float(data["scan_dt"]))
@@ -575,12 +599,16 @@ def bench_gps_corridor(chunk=5):
     rt_off = np.stack(engine.realtime_traj)[:, :3, 3]
     ate_off, _ = _ate_rpe(rt_off, gt, dt)
 
-    # GPS on
+    # GPS on — covariance-weighted: the corridor fixes carry honest 0.3 m
+    # noise; the reference's 1.0 m floor would down-weight them 3x for no
+    # reason (the floor guards against over-trusting optimistic receivers,
+    # config surface `gps_noise_floor`)
     fixes = _fixes_from_data(data)
     _init_engine_at(engine, data)
-    engine.cfg = engine.cfg._replace(use_gps=True, gps_dist_thres=2.0)
+    engine.cfg = engine.cfg._replace(
+        use_gps=True, gps_dist_thres=2.0, gps_noise_floor=0.25)
     _run_pipeline(engine, feed, gps_fixes=fixes)
-    engine.cfg = engine.cfg._replace(use_gps=False)
+    engine.cfg = engine.cfg._replace(use_gps=False, gps_noise_floor=1.0)
     rt_on = np.stack(engine.realtime_traj)[:, :3, 3]
     ate_on, _ = _ate_rpe(rt_on, gt, dt)
     return {
@@ -646,13 +674,30 @@ def bench_kitti_longrun():
         shutil.rmtree(KITTI_SYNTH, ignore_errors=True)
         generate(KITTI_SYNTH, "00", n_scans=LONGRUN_SCANS, progress=False)
 
+    from fastliosam_tpu.loop import LoopConfig
     from fastliosam_tpu.pgo import PoseGraphConfig
 
     engine = make_engine_for(None, chunk=5)
     # ~900 keyframes over 2 laps: allocate up front so the chunked program
     # and solver compile once instead of recompiling at each capacity growth
+    # NOTE: loop_huber_delta deliberately NOT set here — on this circuit
+    # the correct corner-loop corrections are themselves large residuals
+    # (drift is the initialization error), and Huber capped them along
+    # with the slides: measured ATE got WORSE (12 -> 22 m). Slide handling
+    # is the loop verifier's direction-informed rejection + anisotropic
+    # noise instead (LoopConfig.degen_move_limit / aniso_noise).
     engine.pgo_cfg = PoseGraphConfig(
         max_keyframes=1024, max_between=2048, max_gps=64)
+    # reference-spec loop gates for an outdoor circuit (config.yaml:11-12:
+    # radius 35 m, time gap 30 s — the fig-8 engine's 10 m/4 s room tuning
+    # is smaller than the canyon drift, which made loop accrual fragile:
+    # one flipped borderline accept cascaded to 93-vs-53 loops between
+    # numerically-equivalent builds)
+    engine.loop_cfg = LoopConfig(
+        radius=35.0, time_gap=30.0, num_submap_keyframes=5,
+        voxel_res=0.3, submap_points=16384,
+    )
+    engine._build_programs()
     engine.reset()
     out = drive_kitti(engine, KITTI_SYNTH, "00", scan_capacity=RAW_PTS,
                       chunk=5, progress=False)

@@ -38,6 +38,30 @@ class LoopConfig(NamedTuple):
     # we additionally require this many in-range correspondences. Set to 0
     # for reference-exact acceptance.
     min_correspondences: int = 100
+    # DELIBERATE DIVERGENCE #2 — anisotropic loop-factor noise: in
+    # translationally self-similar geometry (urban canyon, corridor) ICP
+    # converges with a small fitness while having slid freely along the
+    # unconstrained axis; the reference's isotropic `fitness·I₆` noise
+    # (`fast_lio_sam.cpp:710`) then fuses that slide at full strength
+    # (measured on the 1160-scan canyon circuit: accepted loops carrying
+    # 13-15 m along-street error at 0° rotation error, ATE 2 → 12 m). The
+    # translation sqrt-info is scaled per candidate-body axis by the
+    # destination submap's surface-normal coverage of that axis — walls ⊥ ŷ
+    # and ground ⊥ ẑ constrain nothing along x̂, so the factor goes soft
+    # exactly there. False disables (reference-exact noise).
+    aniso_noise: bool = True
+    aniso_voxel: float = 1.0  # normal-estimation voxel size (m)
+    aniso_tau: float = 0.3  # relative normal coverage for full strength
+    aniso_floor: float = 0.02  # minimum sqrt-info scale along weak axes
+    # reject (not just soften) a loop whose ICP correction MOVES the query
+    # pose farther than this along a weak axis: that displacement is the
+    # slide itself — the submap had no information to produce it, so it is
+    # initialization error, not measurement. Corner loops (all axes
+    # constrained) pass at any correction size, which is what lets the
+    # graph recover from large drift; Huber-style residual gating cannot
+    # make that distinction (measured: loop_huber capped the CORRECT far
+    # corrections too and the circuit ATE got worse, 12 → 22 m). 0 disables.
+    degen_move_limit: float = 2.0
 
 
 def build_submap(
@@ -111,4 +135,44 @@ def verify_loop(
     sqrt_info = jnp.full(
         (6,), 1.0 / jnp.sqrt(jnp.maximum(fitness, 1e-4)), jnp.float32
     )
+    if cfg.aniso_noise:
+        R_c = se3.rot(T_c)
+        scale_t = _aniso_translation_scales(dst, dst_mask, R_c, cfg)
+        sqrt_info = sqrt_info * jnp.concatenate(
+            [scale_t, jnp.ones((3,), jnp.float32)]
+        )
+        if cfg.degen_move_limit > 0.0:
+            # slide rejection (degen_move_limit doc): correction of the
+            # query position, expressed in the candidate body frame
+            d_body = R_c.T @ (se3.trans(pose_from) - se3.trans(T_q))
+            weak = scale_t < 1.0  # axes below full normal coverage
+            slid = jnp.any(
+                weak & (jnp.abs(d_body) > cfg.degen_move_limit)
+            )
+            accepted = accepted & ~slid
     return rel, sqrt_info, accepted, fitness
+
+
+def _aniso_translation_scales(dst, dst_mask, R_c, cfg: LoopConfig):
+    """Per-axis translation sqrt-info scales (candidate body frame) from
+    the destination submap's surface-normal coverage (see
+    ``LoopConfig.aniso_noise``). An axis only constrains ICP if surfaces
+    face it: the coverage Gram ``Σ_voxels n nᵀ`` over per-voxel plane
+    normals, rotated into the candidate body frame (the between residual's
+    tangent frame), gives each axis's share; axes below ``aniso_tau`` of
+    the strongest are scaled down toward ``aniso_floor``."""
+    from ..map import voxel_hash as vh
+
+    vm_cfg = vh.VoxelMapConfig(
+        capacity=1 << 14, voxel_size=cfg.aniso_voxel, min_points=5
+    )
+    m = vh.make_map(vm_cfg)
+    m, _ = vh.insert(m, vm_cfg, dst, dst_mask, refresh_planes=True)
+    w = m.plane_valid.astype(jnp.float32)
+    Gw = (m.normal * w[:, None]).T @ m.normal  # (3,3) normal coverage
+    Gb = R_c.T @ Gw @ R_c
+    s = jnp.diag(Gb)
+    s_rel = s / jnp.maximum(jnp.max(s), 1e-6)
+    return jnp.clip(s_rel / cfg.aniso_tau, cfg.aniso_floor, 1.0).astype(
+        jnp.float32
+    )

@@ -315,15 +315,32 @@ def _fit_rvar(xyz, mean_world, cov, normal, lam, tot_c, cfg):
     ``cfg.fit_noise_floor`` (the sim is noise-free; real LiDAR is ~1 cm).
     """
     eps = cfg.fit_noise_floor
+    # in-plane query offset: project the normal component out FIRST — the
+    # algebraically equivalent `full_maha − t0²/λ₀` subtracts two large
+    # near-equal numbers for near-degenerate fits and is numerically
+    # chaotic (eager-vs-jit rounding produced 100x relative swings)
     rq = xyz - mean_world
-    eye = jnp.eye(3, dtype=cov.dtype)
-    maha = jnp.sum(
-        rq * jnp.linalg.solve(cov + eps * eye, rq[..., None])[..., 0],
-        axis=-1,
-    )
     t0 = jnp.sum(normal * rq, axis=-1)
+    rp = rq - t0[..., None] * normal
+    # closed-form symmetric 3x3 solve via the adjugate (batched
+    # jnp.linalg.solve lowers to a generic LU path on TPU — measured ~5x
+    # the whole odometry step): Σ⁻¹r = adj(Σ)r / det(Σ), all elementwise
+    a = cov[..., 0, 0] + eps
+    b = cov[..., 0, 1]
+    c = cov[..., 0, 2]
+    d = cov[..., 1, 1] + eps
+    e = cov[..., 1, 2]
+    f = cov[..., 2, 2] + eps
+    A = d * f - e * e
+    B = c * e - b * f
+    C = b * e - c * d
+    det = jnp.maximum(a * A + b * B + c * C, 1e-18)
+    x, y, z = rp[..., 0], rp[..., 1], rp[..., 2]
+    sx = A * x + B * y + C * z
+    sy = B * x + (a * f - c * c) * y + (b * c - a * e) * z
+    sz = C * x + (b * c - a * e) * y + (a * d - b * b) * z
+    inplane = jnp.maximum((x * sx + y * sy + z * sz) / det, 0.0)
     lam0 = jnp.maximum(lam[..., 0], 0.0)
-    inplane = jnp.maximum(maha - t0 * t0 / (lam0 + eps), 0.0)
     return (lam0 + eps) / jnp.maximum(tot_c, 1.0) * (1.0 + inplane)
 
 

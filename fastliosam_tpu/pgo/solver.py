@@ -41,8 +41,10 @@ def _jr_inv(r):
     return eye + 0.5 * _ad_se3(r)
 
 
-def _between_residuals(g: PoseGraph):
-    """Whitened residuals + Jacobian blocks for all between factors."""
+def _between_residuals(g: PoseGraph, cfg: PoseGraphConfig | None = None):
+    """Whitened residuals + Jacobian blocks for all between factors.
+    With ``cfg.loop_huber_delta > 0`` the non-consecutive (loop-closure)
+    factors get IRLS Huber weights — see PoseGraphConfig."""
     Ti = g.poses[g.bt_i]
     Tj = g.poses[g.bt_j]
     E = se3.compose(se3.inverse(g.bt_rel), se3.between(Ti, Tj))
@@ -50,6 +52,13 @@ def _between_residuals(g: PoseGraph):
     Jr = _jr_inv(r0)
     Ad = se3.adjoint(se3.between(Tj, Ti))
     w = g.bt_sqrt_info * g.bt_valid[:, None]  # (F, 6)
+    if cfg is not None and cfg.loop_huber_delta > 0.0:
+        is_loop = jnp.abs(g.bt_i - g.bt_j) > 1
+        rn = jnp.linalg.norm(w * r0, axis=-1)
+        hub = jnp.sqrt(
+            jnp.minimum(1.0, cfg.loop_huber_delta / jnp.maximum(rn, _EPS))
+        )
+        w = w * jnp.where(is_loop, hub, 1.0)[:, None]
     Jj = w[:, :, None] * Jr
     Ji = -w[:, :, None] * (Jr @ Ad)
     rw = w * r0
@@ -90,7 +99,7 @@ def graph_cost(g: PoseGraph, cfg: PoseGraphConfig, prior_pose=None):
     """0.5 * sum of squared whitened residuals (masked)."""
     if prior_pose is None:
         prior_pose = jnp.eye(4, dtype=jnp.float32)
-    rb, _, _ = _between_residuals(g)
+    rb, _, _ = _between_residuals(g, cfg)
     rg, _ = _gps_residuals(g, cfg)
     rp, _ = _prior_residual(g, cfg, prior_pose)
     return 0.5 * (jnp.sum(rb * rb) + jnp.sum(rg * rg) + jnp.sum(rp * rp))
@@ -105,7 +114,7 @@ def _assemble_dense(g: PoseGraph, cfg: PoseGraphConfig, prior_pose):
     tiny PCG dispatches by an order of magnitude.
     """
     K = g.poses.shape[0]
-    rb, Ji, Jj = _between_residuals(g)
+    rb, Ji, Jj = _between_residuals(g, cfg)
     rg, Jg = _gps_residuals(g, cfg)
     rp, Jp = _prior_residual(g, cfg, prior_pose)
 
@@ -151,7 +160,7 @@ def _dense_step(g: PoseGraph, cfg: PoseGraphConfig, prior_pose, lam):
 def _linearize(g: PoseGraph, cfg: PoseGraphConfig, prior_pose):
     """Compute b = -JᵀWr, per-pose diagonal Hessian blocks, and a matvec."""
     K = g.poses.shape[0]
-    rb, Ji, Jj = _between_residuals(g)
+    rb, Ji, Jj = _between_residuals(g, cfg)
     rg, Jg = _gps_residuals(g, cfg)
     rp, Jp = _prior_residual(g, cfg, prior_pose)
 

@@ -2,19 +2,21 @@
 chunked single-sync path + genuinely overlapped decode.
 
 This is the production feed path the reference implements with ROS playback
-+ TCPROS (`run.launch:14-17`). Two mechanisms make the host keep up with
-the device:
++ TCPROS (`run.launch:14-17`). Three mechanisms make the host keep up with
+the device (the r3 path measured 9.19 scans/s — below the reference's
+10 Hz real-time contract — because none of them existed; VERDICT r3 #4):
 
 * the chunk's .bin files are decoded by the native threaded reader
-  (`io/native.py: read_bins` -> `native/fls_native.cpp`), and the per-point
-  azimuth sweep times are synthesized in one vectorized pass over the whole
-  chunk;
-* chunk k+1 is decoded on a background host thread WHILE `process_chunk(k)`
-  blocks on the device readback (the r3 ordering staged k+1 before the
-  dispatch of k, so decode only overlapped the async `device_put` — the
-  host sync at the chunk tail serialized decode with device compute,
-  measured 9.19 scans/s through this path, below the reference's 10 Hz
-  real-time contract; VERDICT r3 #4).
+  (`io/native.py: read_bins` -> `native/fls_native.cpp`);
+* only xyz crosses the host->device link — sweep-time synthesis and the
+  padding mask are computed on device (`_prep`), cutting uploaded bytes
+  ~40% on the bandwidth-limited remote relay;
+* the engine runs the one-chunk-deep deferred pipeline
+  (`SlamEngine.process_chunk_deferred`): chunk k dispatches, THEN chunk
+  k-1's readback + loop/solve work resolves while k executes on device
+  and k+1 decodes on the staging thread — the r3 ordering staged k+1
+  before dispatching k, so decode overlapped only the async `device_put`
+  and every chunk serialized (upload + compute + readback round trip).
 """
 from __future__ import annotations
 
@@ -23,17 +25,6 @@ import time
 from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
-
-
-def _batched_azimuth_offsets(xyz, counts, scan_period=0.1):
-    """Vectorized per-point sweep times over a (C, N, 3) padded chunk
-    (KITTI bins carry no timestamps; the sensor sweeps clockwise from +x).
-    Padded rows get offset 0 — they are masked out downstream anyway."""
-    az = np.arctan2(xyz[..., 1], xyz[..., 0])
-    toff = ((np.pi - az) / (2 * np.pi) * scan_period).astype(np.float32)
-    idx = np.arange(xyz.shape[1])[None, :]
-    toff[idx >= np.asarray(counts)[:, None]] = 0.0
-    return toff
 
 
 def drive_kitti(engine, root: str, seq: str = "00", scan_capacity: int = 65536,
@@ -69,6 +60,20 @@ def drive_kitti(engine, root: str, seq: str = "00", scan_capacity: int = 65536,
         mask=jax.device_put(empty_imu_np[3]),
     )
 
+    # device-side scan prep: the sweep-time synthesis and padding mask are
+    # pure functions of (xyz, count) — computing them on device means the
+    # host uploads xyz ONLY (the remote relay's ~20 MB/s link is the reader
+    # bottleneck; toff+mask were another 40% of the bytes)
+    @jax.jit
+    def _prep(xyz_dev, counts_dev):
+        idx = jnp.arange(cap)[None, :]
+        mask = idx < counts_dev[:, None]
+        az = jnp.arctan2(xyz_dev[..., 1], xyz_dev[..., 0])
+        toff = (jnp.pi - az) / (2 * jnp.pi) * jnp.float32(0.1)
+        toff = jnp.where(mask, toff, 0.0)
+        xyz_dev = jnp.where(mask[..., None], xyz_dev, 1.0e6)
+        return xyz_dev, toff, mask
+
     def stage(c0, n):
         """Decode + async host->device transfer of scans [c0, c0+n)."""
         paths = [
@@ -80,14 +85,11 @@ def drive_kitti(engine, root: str, seq: str = "00", scan_capacity: int = 65536,
             pad = np.full((chunk - n, cap, 4), 1.0e6, np.float32)
             raw = np.concatenate([raw, pad], axis=0)
             counts = np.concatenate([counts, np.zeros(chunk - n, np.int32)])
-        xyz = np.ascontiguousarray(raw[:, :, :3])
-        toff = _batched_azimuth_offsets(xyz, counts)
-        mask = np.arange(cap)[None, :] < counts[:, None]
-        scans = Scan(
-            xyz=jax.device_put(xyz),
-            t_offset=jax.device_put(toff),
-            mask=jax.device_put(mask),
+        xyz, toff, mask = _prep(
+            jax.device_put(np.ascontiguousarray(raw[:, :, :3])),
+            jax.device_put(counts.astype(np.int32)),
         )
+        scans = Scan(xyz=xyz, t_offset=toff, mask=mask)
         stamps = np.asarray(seq_obj.times[c0: c0 + n], np.float64)
         if n < chunk:
             stamps = np.concatenate(
@@ -106,11 +108,14 @@ def drive_kitti(engine, root: str, seq: str = "00", scan_capacity: int = 65536,
             scans, imus, stamps = fut.result()
             if c + chunk < S:
                 # decode of chunk k+1 runs on the staging thread while
-                # process_chunk(k) blocks on the device below (read_bins
-                # and the numpy azimuth pass both release the GIL)
+                # the deferred engine path resolves chunk k-1 below
+                # (read_bins and numpy release the GIL)
                 fut = pool.submit(
                     stage, c + chunk, min(chunk, S - c - chunk))
-            engine.process_chunk(scans, imus, stamps, dt)
+            # deferred: dispatch chunk k, resolve chunk k-1 — the host
+            # sync + chunk-tail loop/solve work overlap chunk k's device
+            # execution AND chunk k+1's decode
+            engine.process_chunk_deferred(scans, imus, stamps, dt)
             c += chunk  # padded tail scans are dropped from metrics below
             if progress and (c // chunk) % 20 == 0:
                 print(f"  scan {c}/{S}", flush=True)

@@ -186,6 +186,8 @@ class SlamEngine:
         # reference's per-keyframe processed_ flag, fast_lio_sam.cpp:684-689)
         self._loop_processed_kf = 0
         self._pending_loop = None
+        # in-flight chunk handle for the deferred (pipelined) chunk path
+        self._pending_chunk = None
         # host-side factor counters (adds happen inside jit, so overflow
         # there would be silent — the engine enforces capacity up front)
         self._n_bt_host = 0
@@ -436,13 +438,41 @@ class SlamEngine:
         boundary, so choosing S = ``loop_check_every`` reproduces the
         reference's 2 Hz loop-timer cadence exactly. Returns the (S, 4, 4)
         realtime corrected poses."""
+        handle = self._dispatch_chunk(scans, imus, stamps, scan_dt, gps)
+        return self._resolve_chunk(handle)
+
+    def process_chunk_deferred(self, scans: Scan, imus: ImuBatch, stamps,
+                               scan_dt, gps: Optional[list] = None):
+        """One-chunk-deep software pipeline: dispatch chunk k, THEN resolve
+        chunk k-1's readback — so the host sync for k-1 overlaps k's device
+        execution, and on a remote-attached accelerator the round-trip
+        latency + the chunk-tail loop-ICP/solve work hide behind compute.
+
+        Loop verification and PGO solves consequently run one chunk later
+        than in :meth:`process_chunk` — the same asynchrony the reference
+        has between its odometry callback and its 2 Hz loop thread
+        (`fast_lio_sam.cpp:137`, the loop factor lands whenever the timer
+        fires). Still deterministic: the lag is structural, not timing-
+        dependent. Returns chunk k-1's corrected poses (None on the first
+        call); `finish()` resolves the final chunk."""
+        handle = self._dispatch_chunk(scans, imus, stamps, scan_dt, gps)
+        out = None
+        if self._pending_chunk is not None:
+            out = self._resolve_chunk(self._pending_chunk)
+        self._pending_chunk = handle
+        return out
+
+    def _dispatch_chunk(self, scans, imus, stamps, scan_dt, gps):
         for fix in gps or []:
             self._on_gps(fix)
         S = scans.xyz.shape[0]
-        # pre-grow so on-device adds can never hit the masked no-op backstop
-        while self.kf.n + S > self.pgo_cfg.max_keyframes:
+        # pre-grow so on-device adds can never hit the masked no-op
+        # backstop; with a chunk still in flight its (unresolved) keyframe
+        # adds are bounded by its scan count
+        pend = self._pending_chunk[2] if self._pending_chunk else 0
+        while self.kf.n + pend + S > self.pgo_cfg.max_keyframes:
             self._grow_keyframes()
-        while self._n_bt_host + S > self.pgo_cfg.max_between:
+        while self._n_bt_host + pend + S > self.pgo_cfg.max_between:
             self._grow_between()
 
         stamps_np = np.asarray(stamps, np.float32)
@@ -470,7 +500,10 @@ class SlamEngine:
         self._kf_n_dev = kf_n
         self.last_kf_raw = last_raw
         self.last_kf_corrected = last_corr
+        return packed, stamps_np, S
 
+    def _resolve_chunk(self, handle):
+        packed, stamps_np, S = handle
         # ONE host readback for the whole chunk
         flat = np.asarray(packed)
         raw_np = flat[: 16 * S].reshape(S, 4, 4)
@@ -778,8 +811,11 @@ class SlamEngine:
     # outputs
     # ------------------------------------------------------------------
     def finish(self):
-        """Resolve any in-flight loop verification and run a final solve —
-        call once at end of sequence (save_results does)."""
+        """Resolve any in-flight chunk + loop verification and run a final
+        solve — call once at end of sequence (save_results does)."""
+        if self._pending_chunk is not None:
+            pc, self._pending_chunk = self._pending_chunk, None
+            self._resolve_chunk(pc)
         self._resolve_pending_loop()
         if self._needs_solve:
             self._solve()

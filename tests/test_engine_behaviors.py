@@ -266,3 +266,44 @@ def test_checkpoint_restores_counters(tmp_path):
         warnings.simplefilter("ignore")
         drive(e2, 10)
     assert int(e2.graph.n_bt) == e2._n_bt_host == e2.kf.n - 1
+
+
+def test_deferred_chunked_matches_sync():
+    """process_chunk_deferred (one-chunk-deep pipelined readback) must
+    reproduce the synchronous chunked path on a loop-free feed: same
+    realtime poses, keyframes, factors, trajectory length. The deferred
+    path is the production reader's overlap mechanism
+    (`runtime/drivers.py`)."""
+    e1 = tiny_engine()
+    sync = chunked_drive(e1, 12, chunk=4)
+
+    e2 = tiny_engine()
+    e2.odom = e2.odom._replace(
+        nav=e2.odom.nav._replace(v=jnp.asarray([1.0, 0.0, 0.0], jnp.float32))
+    )
+    out = []
+    for c in range(0, 12, 4):
+        scans = Scan(
+            xyz=jnp.zeros((4, 64, 3), jnp.float32),
+            t_offset=jnp.zeros((4, 64), jnp.float32),
+            mask=jnp.zeros((4, 64), bool),
+        )
+        imus = ImuBatch(
+            stamps=jnp.full((4, 8), 1e9, jnp.float32),
+            gyro=jnp.zeros((4, 8, 3), jnp.float32),
+            acc=jnp.zeros((4, 8, 3), jnp.float32),
+            mask=jnp.zeros((4, 8), bool),
+        )
+        stamps = [(c + i) * 0.1 for i in range(4)]
+        r = e2.process_chunk_deferred(scans, imus, stamps, 0.1)
+        if r is not None:
+            out.append(r)
+    e2.finish()  # resolves the final in-flight chunk
+    assert len(e2.realtime_traj) == 12
+    deferred = np.stack(e2.realtime_traj)
+    np.testing.assert_allclose(deferred, np.stack(e1.realtime_traj), atol=1e-5)
+    np.testing.assert_allclose(np.concatenate(out + [deferred[-4:]], axis=0)[:12],
+                               sync, atol=1e-5)
+    assert e2.kf.n == e1.kf.n
+    assert e2._n_bt_host == e1._n_bt_host
+    assert e2.traj_len == pytest.approx(e1.traj_len, abs=1e-4)

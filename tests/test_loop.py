@@ -126,3 +126,50 @@ def test_verify_loop_accepts_true_loop(rng):
     # trimmed ICP on partially-overlapping submaps: the loop factor should
     # cancel most of the injected 0.37 m drift
     assert np.linalg.norm(corr) < 0.12, corr
+
+
+def test_aniso_loop_noise_softens_degenerate_axis(rng):
+    """Canyon robustness: a corridor-like destination submap (walls + floor,
+    nothing facing the travel axis) must yield a soft translation factor
+    along x while keeping y/z at full strength; a geometry-rich box keeps
+    all axes strong. This is the defense against accepted-but-slid ICP
+    loops (13-15 m along-street errors measured on the circuit)."""
+    import jax.numpy as jnp
+
+    from fastliosam_tpu.loop.closure import (
+        LoopConfig, _aniso_translation_scales,
+    )
+
+    cfg = LoopConfig()
+    n = 4096
+    # corridor: two walls (normals +-y) + floor (normal z), long in x
+    walls = np.concatenate([
+        np.stack([rng.uniform(0, 40, n // 3), np.full(n // 3, 4.0),
+                  rng.uniform(0, 5, n // 3)], 1),
+        np.stack([rng.uniform(0, 40, n // 3), np.full(n // 3, -4.0),
+                  rng.uniform(0, 5, n // 3)], 1),
+        np.stack([rng.uniform(0, 40, n - 2 * (n // 3)),
+                  rng.uniform(-4, 4, n - 2 * (n // 3)),
+                  np.zeros(n - 2 * (n // 3))], 1),
+    ]).astype(np.float32)
+    mask = jnp.ones((n,), bool)
+    sc = np.asarray(_aniso_translation_scales(
+        jnp.asarray(walls), mask, jnp.eye(3, dtype=jnp.float32), cfg
+    ))
+    assert sc[0] <= 0.2, sc  # x unconstrained -> soft
+    assert sc[1] >= 0.8 and sc[2] >= 0.5, sc
+
+    # box: all six faces visible -> every axis constrained
+    m3 = n // 3
+    box = np.concatenate([
+        np.stack([np.full(m3, 10.0), rng.uniform(-4, 4, m3),
+                  rng.uniform(0, 5, m3)], 1),
+        np.stack([rng.uniform(0, 20, m3), np.full(m3, 4.0),
+                  rng.uniform(0, 5, m3)], 1),
+        np.stack([rng.uniform(0, 20, n - 2 * m3),
+                  rng.uniform(-4, 4, n - 2 * m3), np.zeros(n - 2 * m3)], 1),
+    ]).astype(np.float32)
+    sc2 = np.asarray(_aniso_translation_scales(
+        jnp.asarray(box), mask, jnp.eye(3, dtype=jnp.float32), cfg
+    ))
+    assert np.all(sc2 >= 0.5), sc2
