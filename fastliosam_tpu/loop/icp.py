@@ -204,3 +204,109 @@ def icp_align(
     )
     fitness = jnp.where(n_corr > 0, fitness, jnp.inf)
     return T, fitness, n_corr
+
+
+@geometry_precision
+def icp_align_p2pl(
+    src,
+    src_mask,
+    dst,
+    dst_mask,
+    dst_normals,
+    dst_nvalid,
+    init_T=None,
+    max_iterations: int = 50,
+    max_corr_dist: float = 52.5,
+    nn_chunk: int = 2048,
+    trim_fraction: float = 1.0,
+    convergence_eps: float = 0.01,
+):
+    """Point-to-PLANE ICP: minimize Σ w (n·(T·p − q))² over SE(3).
+
+    DELIBERATE DIVERGENCE from the reference's point-to-point PCL
+    configuration (`loop_closure.cpp:69-92`): on structured scenes
+    (walls/ground) point-to-point locks onto the discrete ring-sampling
+    pattern of the destination cloud — measured on the canyon circuit as
+    accepted loops converging several metres from truth under ~6 m initial
+    error. Point-to-plane lets correspondences slide within their surface,
+    which both enlarges the convergence basin and removes the sampling
+    bias. ``dst_normals``/``dst_nvalid`` are per-destination-point surfel
+    normals (the loop verifier reuses its anisotropy voxel map to get
+    them for free — `loop/closure.py`).
+
+    Each iteration solves the 6×6 Gauss-Newton system of rows
+    ``[(T·p)×n, n]`` — the same MXU Gram pattern as the iEKF. Fitness
+    stays PCL-style mean squared point-to-point distance so the
+    ``icp_score_threshold`` acceptance semantics are unchanged.
+    Returns ``(T, fitness, n_corr)``.
+    """
+    if init_T is None:
+        init_T = jnp.eye(4, dtype=jnp.float32)
+    n = src.shape[0]
+
+    if jax.default_backend() == "tpu":
+        from ..ops import nearest_neighbors_pallas
+
+        def nn(ps):
+            return nearest_neighbors_pallas(ps, dst, dst_mask)
+    else:
+        def nn(ps):
+            return nearest_neighbors(ps, dst, dst_mask, nn_chunk)
+
+    def corr_weights(nn_idx, nn_d2):
+        corr = (
+            src_mask
+            & (nn_d2 < max_corr_dist * max_corr_dist)
+            & dst_nvalid[nn_idx]
+        )
+        if trim_fraction < 1.0:
+            d2s = jnp.sort(jnp.where(corr, nn_d2, _BIG))
+            n_corr = jnp.sum(corr.astype(jnp.int32))
+            k = jnp.clip(
+                (n_corr.astype(jnp.float32) * trim_fraction).astype(jnp.int32),
+                1,
+                n - 1,
+            )
+            corr = corr & (nn_d2 <= d2s[k])
+        return corr
+
+    def step(T):
+        ps = se3.apply(T, src[None])[0]
+        nn_idx, nn_d2 = nn(ps)
+        w = corr_weights(nn_idx, nn_d2).astype(jnp.float32)
+        nrm = dst_normals[nn_idx]
+        q = dst[nn_idx]
+        r = jnp.sum(nrm * (ps - q), axis=-1)
+        A = jnp.concatenate([jnp.cross(ps, nrm), nrm], axis=-1)  # (N, 6)
+        Aw = A * w[:, None]
+        G = A.T @ Aw + 1e-6 * jnp.eye(6, dtype=A.dtype)
+        b = Aw.T @ r
+        dx = jnp.linalg.solve(G, -b)  # [dtheta, dt]
+        T_new = se3.compose(
+            se3.make(so3.exp(dx[:3]), dx[3:]), T
+        )
+        delta = jnp.linalg.norm(dx)
+        return T_new, delta
+
+    def cond(carry):
+        _, it, delta = carry
+        return (it < max_iterations) & (delta > convergence_eps)
+
+    def body_w(carry):
+        T, it, _ = carry
+        T_new, delta = step(T)
+        return T_new, it + 1, delta
+
+    T, _, _ = jax.lax.while_loop(
+        cond, body_w, (init_T, jnp.int32(0), jnp.float32(jnp.inf))
+    )
+
+    ps = se3.apply(T, src[None])[0]
+    nn_idx, nn_d2 = nn(ps)
+    corr = src_mask & (nn_d2 < max_corr_dist * max_corr_dist)
+    n_corr = jnp.sum(corr.astype(jnp.int32))
+    fitness = jnp.sum(jnp.where(corr, nn_d2, 0.0)) / jnp.maximum(
+        n_corr.astype(jnp.float32), 1.0
+    )
+    fitness = jnp.where(n_corr > 0, fitness, jnp.inf)
+    return T, fitness, n_corr

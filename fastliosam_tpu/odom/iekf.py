@@ -119,11 +119,18 @@ def iekf_update(
             # onto the observable subspace so the MAP solve keeps the
             # prediction along degenerate axes. (Extrinsic columns stay
             # untouched: they are frozen unless extrinsic_est_en.)
-            Gt = G[3:6, 3:6]
-            lam, V = eigh3(Gt)  # closed form — no LAPACK on TPU
-            # normalize eigenvalues by the total measurement weight (the
-            # conf-weighted analog of n_matched·inv_R)
-            scale = jnp.maximum(jnp.sum(w), 1e-6)
+            # observability from CONFIDENT evidence only (state.py
+            # degen_conf_ratio doc): matches whose surfel-fit uncertainty
+            # is below the sensor noise. The weighted Gram G[3:6,3:6]
+            # still includes soft-weighted ring-alias matches whose
+            # correlated bias fakes along-street observability.
+            wc = (
+                valid & (rvar < cfg.degen_conf_ratio * cfg.point_cov)
+            ).astype(jnp.float32) * inv_R
+            nc = n * wc[:, None]
+            Gt = nc.T @ n
+            lam, V = eigh3(0.5 * (Gt + Gt.T))  # closed form, no LAPACK
+            scale = jnp.maximum(jnp.sum(wc), 1e-6)
             thr = cfg.degen_rel_thresh * scale
             keep0 = lam > thr
             # hysteresis: closed-form eigenvectors are only reliable when

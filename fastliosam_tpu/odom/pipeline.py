@@ -160,8 +160,12 @@ def odom_step(
     # (absent) IMU model — re-estimate both from the pose correction for
     # the next coordinated-turn prediction
     v_fd = (nav_upd.p - state.nav.p) / jnp.maximum(scan_dt, 1e-3)
+    # EMA against the previous velocity state (cv_vel_alpha doc): a
+    # single-scan correction spike must not become the frozen coast
+    # velocity of the next degenerate stretch
+    v_sm = cfg.cv_vel_alpha * v_fd + (1.0 - cfg.cv_vel_alpha) * state.nav.v
     nav_upd = nav_upd._replace(
-        v=jnp.where(has_imu, nav_upd.v, v_fd)
+        v=jnp.where(has_imu, nav_upd.v, v_sm)
     )
     nav_new = jax.lax.cond(
         state.initialized, lambda: nav_upd, lambda: nav_prop

@@ -73,6 +73,13 @@ class OdomConfig(NamedTuple):
     # (rad/s): one bad-association attitude jump must not become the next
     # scan's predicted rotation
     cv_max_rate: float = 2.0
+    # EMA coefficient for the LiDAR-only velocity re-estimate: the scan-
+    # to-scan finite difference carries any single-scan correction spike,
+    # and entering a degenerate stretch freezes whatever velocity it
+    # happens to hold (the coast then integrates the spike for the whole
+    # stretch: a 5% entry error over a 55 s canyon = 9 m). 1.0 = raw
+    # finite difference (no smoothing).
+    cv_vel_alpha: float = 0.5
     # degeneracy-aware solution remapping (Zhang & Singh, ICRA'16): drop
     # the LiDAR update along translation directions whose measurement-Gram
     # eigenvalue, normalized to mean-cos² units (λ / (n_matched/point_cov)),
@@ -81,6 +88,15 @@ class OdomConfig(NamedTuple):
     # grazing-incidence artifacts otherwise erode velocity scan by scan).
     # 0 disables.
     degen_rel_thresh: float = 5e-3
+    # observability evidence gate: the degeneracy eigen-analysis only
+    # counts matches whose fit-uncertainty rvar is below
+    # degen_conf_ratio x point_cov (confidence >= 1/2). Near-collinear
+    # ring-alias matches survive the soft rvar weighting at ~1/30 weight
+    # each, but thousands of them are biased the SAME way (correlated,
+    # not independent evidence) and keep a phantom along-street eigenvalue
+    # above threshold — measured 9-40% per-scan speed erosion through the
+    # canyon with the weighted-Gram criterion.
+    degen_conf_ratio: float = 1.0
 
     def ext_R(self):
         return jnp.asarray(self.extrinsic_R, jnp.float32).reshape(3, 3)

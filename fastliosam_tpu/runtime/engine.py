@@ -58,6 +58,14 @@ class EngineConfig(NamedTuple):
     use_gps_elevation: bool = False
     gps_time_tol: float = 0.05
     gps_noise_floor: float = 1.0
+    # ENU-anchor warmup: average the (SLAM position − raw ENU) offset over
+    # this many fixes before fusing any. The reference resets its
+    # LocalCartesian at the FIRST fix (fast_lio_sam.cpp:156-159), so that
+    # one fix's noise becomes a coherent bias on EVERY subsequent GPS
+    # measurement — measured 0.5-1.0 m of the gps_degraded ATE, and a
+    # stiff odometry chain cannot resist a coherent pull (only the prior
+    # anchors absolute position). 1 = reference-exact.
+    gps_anchor_warmup: int = 10
     # skip GPS factors while the pose marginal covariance (x/y translation)
     # is already below this (fast_lio_sam.cpp:192-193, pose_cov_thres 0.02)
     pose_cov_thres: float = 0.02
@@ -164,6 +172,9 @@ class SlamEngine:
         self._last_p = None
         # GPS state (gpsCallback analog)
         self.gps_anchor: Optional[LocalCartesian] = None
+        # warmup buffer of (stamp, raw_enu, noise) fixes awaiting the
+        # averaged anchor offset (None once finalized)
+        self._gps_warmup: Optional[list] = []
         # SLAM-frame position of the vehicle when the ENU anchor was set:
         # gps_in_slam = enu + offset. (The reference assumes the SLAM origin
         # coincides with the first fix; this generalizes that.)
@@ -752,16 +763,49 @@ class SlamEngine:
             self.gps_anchor = LocalCartesian.from_origin(
                 fix.lat, fix.lon, fix.alt
             )
-            if self.realtime_traj:
-                self.gps_slam_offset = self.realtime_traj[-1][:3, 3].copy()
-        enu = np.asarray(
+            if self.cfg.gps_anchor_warmup <= 1:
+                # reference-exact: anchor at the first fix, offset = the
+                # current SLAM position
+                self._gps_warmup = None
+                if self.realtime_traj:
+                    self.gps_slam_offset = (
+                        self.realtime_traj[-1][:3, 3].copy()
+                    )
+        enu_raw = np.asarray(
             self.gps_anchor.forward(
                 jnp.asarray(fix.lat), jnp.asarray(fix.lon), jnp.asarray(fix.alt)
             )
-        ) + self.gps_slam_offset
-        self.gps_queue.append(
-            (fix.stamp, enu, np.sqrt(np.asarray(fix.cov_xyz)))
         )
+        noise = np.sqrt(np.asarray(fix.cov_xyz))
+        if self._gps_warmup is not None:
+            self._gps_warmup.append((fix.stamp, enu_raw, noise))
+            self._try_finalize_gps_anchor()
+            return
+        self.gps_queue.append(
+            (fix.stamp, enu_raw + self.gps_slam_offset, noise)
+        )
+
+    def _try_finalize_gps_anchor(self):
+        """Average the SLAM−ENU offset over the warmup fixes that have a
+        matching realtime pose (±0.06 s), then flush them into the fusion
+        queue (see EngineConfig.gps_anchor_warmup)."""
+        if not self.scan_stamps:
+            return
+        stamps = np.asarray(self.scan_stamps)
+        matched = []
+        for (ts, enu, noise) in self._gps_warmup:
+            j = int(np.argmin(np.abs(stamps - ts)))
+            if abs(float(stamps[j]) - ts) <= 0.06:
+                matched.append((ts, enu, noise,
+                                self.realtime_traj[j][:3, 3]))
+        if len(matched) < self.cfg.gps_anchor_warmup:
+            return
+        self.gps_slam_offset = np.mean(
+            [p - enu for (_, enu, _, p) in matched], axis=0
+        )
+        buffered, self._gps_warmup = self._gps_warmup, None
+        for (ts, enu, noise) in buffered:
+            self.gps_queue.append((ts, enu + self.gps_slam_offset, noise))
 
     def _try_add_gps_factor(self, kf_idx, kf_stamp, corrected_T):
         cfg = self.cfg
