@@ -64,27 +64,39 @@ def main():
                      float(stamps_all[sl][0]) - dt, float(stamps_all[sl][-1])))
     n_fed = len(feed) * args.chunk
 
-    def run(variant):
-        bench._init_engine_at(engine, data)
-        if variant == "no_kf":
-            engine.cfg = engine.cfg._replace(keyframe_threshold=1e9)
+    # keyframe_threshold is baked into the chunk program at trace time:
+    # the no_kf variant needs its OWN warmed engine (r4 fix — the r3
+    # harness silently measured the full config, and rebuilding programs
+    # inside the timing loop measures retrace, not the pipeline)
+    engine_nokf = bench.make_engine_for(data, chunk=args.chunk)
+    engine_nokf.cfg = engine_nokf.cfg._replace(keyframe_threshold=1e9)
+    engine_nokf._build_programs()
+
+    def run(variant, deferred=False):
+        e = engine_nokf if variant == "no_kf" else engine
+        bench._init_engine_at(e, data)
         if variant == "no_verify":
-            engine._loop_processed_kf = 1 << 30
+            e._loop_processed_kf = 1 << 30
+        step = (e.process_chunk_deferred if deferred
+                else e.process_chunk)
         t0 = time.perf_counter()
         for (scans, imus, stamps, sdt, lo, hi) in feed:
-            engine.process_chunk(scans, imus, stamps, sdt)
+            step(scans, imus, stamps, sdt)
             if variant == "no_verify":
-                engine._loop_processed_kf = 1 << 30
-        engine.finish()
+                e._loop_processed_kf = 1 << 30
+        e.finish()
         el = time.perf_counter() - t0
-        stats = (engine.kf.n, len(engine.loop_pairs), engine.solve_count)
-        engine.cfg = engine.cfg._replace(keyframe_threshold=1.0)
+        stats = (e.kf.n, len(e.loop_pairs), e.solve_count)
         return el, stats
 
     out = {}
-    for variant in ("full", "no_verify", "no_kf"):
-        run(variant)  # warm/compile
-        el, stats = min(run(variant) for _ in range(args.reps))
+    for variant, deferred in (
+        ("full", False), ("full_deferred", True), ("no_verify", False),
+        ("no_kf", False),
+    ):
+        v = variant.replace("_deferred", "")
+        run(v, deferred)  # warm/compile
+        el, stats = min(run(v, deferred) for _ in range(args.reps))
         out[variant] = {
             "wall_s": round(el, 3),
             "scans_per_sec": round(n_fed / el, 2),
