@@ -307,3 +307,51 @@ def test_deferred_chunked_matches_sync():
     assert e2.kf.n == e1.kf.n
     assert e2._n_bt_host == e1._n_bt_host
     assert e2.traj_len == pytest.approx(e1.traj_len, abs=1e-4)
+
+
+def test_gps_anchor_warmup_averages_offset():
+    """The ENU anchor offset is averaged over gps_anchor_warmup fixes (the
+    reference anchors at the FIRST fix, making its noise a coherent bias on
+    every measurement — EngineConfig.gps_anchor_warmup doc). Noisy fixes
+    around a known trajectory must yield an offset close to the noise-free
+    value, and the buffered fixes must flush into the fusion queue."""
+    import numpy as np
+
+    from fastliosam_tpu.runtime import GpsFix
+    from fastliosam_tpu.core.geodesy import LocalCartesian
+
+    engine = tiny_engine(use_gps=True, gps_anchor_warmup=8)
+    # fabricate a driven trajectory: realtime poses along +x at 1 m/s
+    rng = np.random.default_rng(0)
+    anchor = (22.3193, 114.1694, 10.0)
+    lc = LocalCartesian.from_origin(*anchor)
+    true_world = lambda t: np.array([5.0 + t, 2.0, 0.0])  # noqa: E731
+    for k in range(12):
+        t = 0.1 * k
+        T = np.eye(4, dtype=np.float32)
+        T[:3, 3] = true_world(t)
+        engine.realtime_traj.append(T)
+        engine.scan_stamps.append(t)
+    import jax.numpy as jnp
+
+    for k in range(10):
+        t = 0.1 * k
+        noisy = true_world(t) + rng.normal(size=3) * 0.3
+        lat, lon, alt = lc.reverse(jnp.asarray(noisy, jnp.float32))
+        engine._on_gps(GpsFix(stamp=t, lat=float(lat), lon=float(lon),
+                              alt=float(alt), cov_xyz=(0.09, 0.09, 0.09)))
+    assert engine._gps_warmup is None, "warmup should have finalized"
+    assert len(engine.gps_queue) == 10  # buffered fixes flushed
+    # offset recovers SLAM-vs-ENU displacement to ~noise/sqrt(8)
+    # (fix 0's raw ENU is the anchor origin, so offset ~ true_world(0))
+    est_world = [q[1] for q in engine.gps_queue]
+    errs = [np.linalg.norm(est_world[k][:2] - true_world(0.1 * k)[:2])
+            for k in range(10)]
+    # individual fixes keep their own noise, but the COHERENT part
+    # (anchor bias) is averaged out: mean error component is small
+    mean_err = np.linalg.norm(
+        np.mean([est_world[k] - true_world(0.1 * k) for k in range(10)],
+                axis=0)[:2]
+    )
+    assert mean_err < 0.2, mean_err
+    assert max(errs) < 2.0, errs  # individual fixes keep ~0.4 m noise + tails
