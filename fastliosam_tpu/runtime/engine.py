@@ -86,6 +86,14 @@ class EngineConfig(NamedTuple):
     # >1 device the ICP verification dispatches to another chip and JAX's
     # async dispatch overlaps it with odometry). None = same device.
     loop_device: int | None = None
+    # deferred-chunk pipeline depth: how many chunks may be in flight
+    # before their readback is resolved (process_chunk_deferred). Depth 1
+    # hides one chunk's readback + chunk-tail work behind the next chunk's
+    # execution; depth 2 additionally hides upload/dispatch latency on
+    # high-RTT device links (the remote relay). Loop/solve decisions lag
+    # `defer_depth` chunks (reference analog: its 2 Hz loop thread lands
+    # factors with arbitrary lag, fast_lio_sam.cpp:137).
+    defer_depth: int = 1
     # solve cadence: False (default) re-solves only on loop/GPS events —
     # without new loop/GPS factors the graph optimum is the odometry chain
     # itself, so extra solves are no-ops numerically. True reproduces the
@@ -197,8 +205,8 @@ class SlamEngine:
         # reference's per-keyframe processed_ flag, fast_lio_sam.cpp:684-689)
         self._loop_processed_kf = 0
         self._pending_loop = None
-        # in-flight chunk handle for the deferred (pipelined) chunk path
-        self._pending_chunk = None
+        # in-flight chunk handles for the deferred (pipelined) chunk path
+        self._pending_chunks: list = []
         # host-side factor counters (adds happen inside jit, so overflow
         # there would be silent — the engine enforces capacity up front)
         self._n_bt_host = 0
@@ -449,6 +457,10 @@ class SlamEngine:
         boundary, so choosing S = ``loop_check_every`` reproduces the
         reference's 2 Hz loop-timer cadence exactly. Returns the (S, 4, 4)
         realtime corrected poses."""
+        # drain any deferred chunks first — resolves must happen in
+        # dispatch order (keyframe counters are cumulative)
+        while self._pending_chunks:
+            self._resolve_chunk(self._pending_chunks.pop(0))
         handle = self._dispatch_chunk(scans, imus, stamps, scan_dt, gps)
         return self._resolve_chunk(handle)
 
@@ -467,10 +479,10 @@ class SlamEngine:
         dependent. Returns chunk k-1's corrected poses (None on the first
         call); `finish()` resolves the final chunk."""
         handle = self._dispatch_chunk(scans, imus, stamps, scan_dt, gps)
+        self._pending_chunks.append(handle)
         out = None
-        if self._pending_chunk is not None:
-            out = self._resolve_chunk(self._pending_chunk)
-        self._pending_chunk = handle
+        while len(self._pending_chunks) > max(1, self.cfg.defer_depth):
+            out = self._resolve_chunk(self._pending_chunks.pop(0))
         return out
 
     def _dispatch_chunk(self, scans, imus, stamps, scan_dt, gps):
@@ -478,9 +490,9 @@ class SlamEngine:
             self._on_gps(fix)
         S = scans.xyz.shape[0]
         # pre-grow so on-device adds can never hit the masked no-op
-        # backstop; with a chunk still in flight its (unresolved) keyframe
-        # adds are bounded by its scan count
-        pend = self._pending_chunk[2] if self._pending_chunk else 0
+        # backstop; with chunks still in flight their (unresolved) keyframe
+        # adds are bounded by their scan counts
+        pend = sum(h[2] for h in self._pending_chunks)
         while self.kf.n + pend + S > self.pgo_cfg.max_keyframes:
             self._grow_keyframes()
         while self._n_bt_host + pend + S > self.pgo_cfg.max_between:
@@ -857,9 +869,8 @@ class SlamEngine:
     def finish(self):
         """Resolve any in-flight chunk + loop verification and run a final
         solve — call once at end of sequence (save_results does)."""
-        if self._pending_chunk is not None:
-            pc, self._pending_chunk = self._pending_chunk, None
-            self._resolve_chunk(pc)
+        while self._pending_chunks:
+            self._resolve_chunk(self._pending_chunks.pop(0))
         self._resolve_pending_loop()
         if self._needs_solve:
             self._solve()

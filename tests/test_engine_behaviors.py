@@ -355,3 +355,37 @@ def test_gps_anchor_warmup_averages_offset():
     )
     assert mean_err < 0.2, mean_err
     assert max(errs) < 2.0, errs  # individual fixes keep ~0.4 m noise + tails
+
+
+def test_deferred_depth2_matches_sync():
+    """defer_depth=2 (two chunks in flight) still reproduces the
+    synchronous path on a loop-free feed."""
+    e1 = tiny_engine()
+    sync = chunked_drive(e1, 16, chunk=4)
+
+    e2 = tiny_engine(defer_depth=2)
+    e2.odom = e2.odom._replace(
+        nav=e2.odom.nav._replace(v=jnp.asarray([1.0, 0.0, 0.0], jnp.float32))
+    )
+    for c in range(0, 16, 4):
+        scans = Scan(
+            xyz=jnp.zeros((4, 64, 3), jnp.float32),
+            t_offset=jnp.zeros((4, 64), jnp.float32),
+            mask=jnp.zeros((4, 64), bool),
+        )
+        imus = ImuBatch(
+            stamps=jnp.full((4, 8), 1e9, jnp.float32),
+            gyro=jnp.zeros((4, 8, 3), jnp.float32),
+            acc=jnp.zeros((4, 8, 3), jnp.float32),
+            mask=jnp.zeros((4, 8), bool),
+        )
+        e2.process_chunk_deferred(
+            scans, imus, [(c + i) * 0.1 for i in range(4)], 0.1
+        )
+    e2.finish()
+    assert len(e2.realtime_traj) == 16
+    np.testing.assert_allclose(
+        np.stack(e2.realtime_traj), sync, atol=1e-5
+    )
+    assert e2.kf.n == e1.kf.n
+    assert e2._n_bt_host == e1._n_bt_host
