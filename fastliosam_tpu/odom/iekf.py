@@ -18,6 +18,7 @@ then P ← (Hᵀ R⁻¹ H + P⁻¹)⁻¹.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..core.eigh3 import eigh3
@@ -78,12 +79,24 @@ def iekf_update(
     p_l = (pts_body - x_prop.t_ext) @ x_prop.R_ext
 
     S = None
+    dp_last = jnp.float32(jnp.inf)  # position move of the previous iter
     for it in range(cfg.max_iteration):
         q_b = p_l @ x.R_ext.T + x.t_ext if cfg.extrinsic_est_en else pts_body
         if 0 < it <= cfg.requery_iters:
-            plane_n, plane_d, assoc, rvar = _query_planes(
-                x, q_b, mask, vmap, map_cfg, cfg, query_fn
-            )
+            if cfg.requery_thresh > 0.0:
+                # adaptive: only pay the association when the previous
+                # step moved far enough to invalidate it (requery_thresh)
+                plane_n, plane_d, assoc, rvar = jax.lax.cond(
+                    dp_last > cfg.requery_thresh,
+                    lambda: _query_planes(
+                        x, q_b, mask, vmap, map_cfg, cfg, query_fn
+                    ),
+                    lambda: (plane_n, plane_d, assoc, rvar),
+                )
+            else:
+                plane_n, plane_d, assoc, rvar = _query_planes(
+                    x, q_b, mask, vmap, map_cfg, cfg, query_fn
+                )
         pw = q_b @ x.R.T + x.p
         n = plane_n
         r = jnp.sum(n * pw, axis=-1) + plane_d
@@ -160,6 +173,7 @@ def iekf_update(
         S = HtRH + P_inv
         rhs = -(Htr + P_inv @ dxi)
         dx = jnp.linalg.solve(S, rhs)
+        dp_last = jnp.linalg.norm(dx[3:6])
         x = boxplus(x, dx)
 
     # posterior covariance from the final linearization

@@ -48,6 +48,16 @@ class OdomConfig(NamedTuple):
     # iteration (recovers most of the accuracy), >=max_iteration-1 = every
     # iteration (the reference's re-search-per-iteration behavior)
     requery_iters: int = 1
+    # adaptive re-association: within the requery_iters window, re-run the
+    # (expensive) association ONLY when the previous Kalman step moved the
+    # position more than this (m). While tracking, corrections are
+    # millimetres and the re-query is pure cost — measured r4: skipping it
+    # is +12% throughput AND better ATE (0.0549→0.0437 dense,
+    # 0.0109→0.0085 livox) because mid-update pool reassignment is
+    # noisier than the propagated-pose association; on a cold start the
+    # first corrections are large and the re-query is load-bearing
+    # (no-init ATE 0.100 vs 0.157 without it). 0 = always re-query.
+    requery_thresh: float = 0.125
     # preprocessing
     blind: float = 1.0  # preprocess.blind
     point_filter_num: int = 4  # kitti.launch:7
