@@ -485,13 +485,16 @@ def bench_pipeline(chunk=5):
     init_engine()
     el_def = _run_pipeline(engine, feed, deferred=True)
     rt_d = np.stack(engine.realtime_traj)[:, :3, 3]
-    ate_d, _ = _ate_rpe(rt_d, gt, dt)
+    # ATE and RPE both from the deferred run (the headline pair must come
+    # from ONE execution); the synchronous run reports its own pair
+    ate_d, rpe_d = _ate_rpe(rt_d, gt, dt)
     return {
         "pipeline_scans_per_sec": round(n_fed / el_def, 2),
         "pipeline_ate_m": round(ate_d, 4),
+        "pipeline_rpe_1s_m": round(rpe_d, 4),
         "pipeline_sync_scans_per_sec": round(sps, 2),
         "pipeline_sync_ate_m": round(ate_rt, 4),
-        "pipeline_rpe_1s_m": round(rpe_rt, 4),
+        "pipeline_sync_rpe_1s_m": round(rpe_rt, 4),
         "odom_only_ate_m": round(ate_raw, 4),
         "pipeline_loops": len(engine.loop_pairs),
         "pipeline_solves": engine.solve_count,

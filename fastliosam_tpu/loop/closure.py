@@ -61,6 +61,12 @@ class LoopConfig(NamedTuple):
     aniso_voxel: float = 1.0  # normal-estimation voxel size (m)
     aniso_tau: float = 0.3  # relative normal coverage for full strength
     aniso_floor: float = 0.02  # minimum sqrt-info scale along weak axes
+    # coverage band (in scale_t units, below full strength 1.0) over which
+    # the translation sqrt-info interpolates continuously from the
+    # absolute weak-axis scale to the fitness-based info — a hard switch
+    # at full coverage was a ~30x information cliff between nearly
+    # identical geometries (scale_t 0.998 vs 1.0). 0 restores the switch.
+    aniso_blend: float = 0.25
     # reject (not just soften) a loop whose ICP correction MOVES the query
     # pose farther than this along a weak axis: that displacement is the
     # slide itself — the submap had no information to produce it, so it is
@@ -178,7 +184,19 @@ def verify_loop(
         # softened canyon loops still pulled the circuit to ATE 7.5 m).
         # scale 0.02 => sigma 50 m along the unconstrained street axis.
         base = sqrt_info[:3]
-        trans_info = jnp.where(scale_t >= 0.999, base, scale_t)
+        if cfg.aniso_blend > 0.0:
+            # continuous ramp over the top of the coverage range: axes at
+            # full coverage carry the fitness-based info, axes below the
+            # band carry the absolute per-metre scale, and the band
+            # interpolates between them (see LoopConfig.aniso_blend)
+            u = jnp.clip(
+                (scale_t - (1.0 - cfg.aniso_blend)) / cfg.aniso_blend,
+                0.0,
+                1.0,
+            )
+            trans_info = scale_t + u * (base - scale_t)
+        else:
+            trans_info = jnp.where(scale_t >= 0.999, base, scale_t)
         sqrt_info = jnp.concatenate([trans_info, sqrt_info[3:]])
         if cfg.degen_move_limit > 0.0:
             # slide rejection (degen_move_limit doc): correction of the

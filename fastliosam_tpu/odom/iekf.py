@@ -79,7 +79,15 @@ def iekf_update(
     p_l = (pts_body - x_prop.t_ext) @ x_prop.R_ext
 
     S = None
-    dp_last = jnp.float32(jnp.inf)  # position move of the previous iter
+    # lever arm for the association-staleness metric: the farthest valid
+    # point in this scan — a rotation correction δθ moves world points by
+    # up to r_max·|δθ|, which must count toward the re-query trigger just
+    # like translation (a rotation-only correction on a cold start or
+    # sharp turn otherwise leaves associations stale without tripping it)
+    r_max = jnp.max(
+        jnp.linalg.norm(pts_body, axis=-1) * mask.astype(jnp.float32)
+    )
+    dp_last = jnp.float32(jnp.inf)  # assoc displacement of the previous iter
     for it in range(cfg.max_iteration):
         q_b = p_l @ x.R_ext.T + x.t_ext if cfg.extrinsic_est_en else pts_body
         if 0 < it <= cfg.requery_iters:
@@ -173,7 +181,7 @@ def iekf_update(
         S = HtRH + P_inv
         rhs = -(Htr + P_inv @ dxi)
         dx = jnp.linalg.solve(S, rhs)
-        dp_last = jnp.linalg.norm(dx[3:6])
+        dp_last = jnp.linalg.norm(dx[3:6]) + r_max * jnp.linalg.norm(dx[0:3])
         x = boxplus(x, dx)
 
     # posterior covariance from the final linearization

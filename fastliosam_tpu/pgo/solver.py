@@ -384,22 +384,25 @@ def extrapolate_pose_cov(cov6, dk, path_len, dxy, trans_var, rot_var):
     # Σ_{m=0}^{dk-1} m² — lever of per-step yaw noise over the remaining path
     s2 = (dk - 1) * dk * (2 * dk - 1) / 6.0
     walk = rot_var * dbar * dbar * s2
-    if norm2 < 0.25 * path_len * path_len:
-        # loop-back regime: |Δp| ≪ path length, so the straight-line lever
-        # collapses (dxy→0 would zero the yaw terms and underestimate the
-        # accumulated error). Bound the solve-time yaw lever by the path
-        # half-length, split isotropically; cross terms have no usable sign
-        # here and are omitted.
-        lev2 = 0.25 * path_len * path_len
-        var += dk * trans_var + 0.5 * lev2 * yaw_var + 0.5 * walk
-        return var
-    frac_x = dy * dy / norm2
-    frac_y = dx * dx / norm2
-    # δx = -ψ·Δp_y, δy = +ψ·Δp_x (z-rotation of the displacement)
-    var[0] += dk * trans_var + dy * dy * yaw_var - 2.0 * dy * cov_x_yaw \
-        + frac_x * walk
-    var[1] += dk * trans_var + dx * dx * yaw_var + 2.0 * dx * cov_y_yaw \
-        + frac_y * walk
+    lev2 = 0.25 * path_len * path_len
+    # Δp-levered form (exact on a straight chain): δx = -ψ·Δp_y,
+    # δy = +ψ·Δp_x (z-rotation of the displacement)
+    inv_n2 = 1.0 / max(norm2, 1e-12)
+    lev_x = dy * dy * yaw_var - 2.0 * dy * cov_x_yaw + dy * dy * inv_n2 * walk
+    lev_y = dx * dx * yaw_var + 2.0 * dx * cov_y_yaw + dx * dx * inv_n2 * walk
+    # loop-back form: when |Δp| ≪ path length the straight-line lever
+    # collapses (dxy→0 would zero the yaw terms and underestimate the
+    # accumulated error), so bound the solve-time yaw lever by the path
+    # half-length, split isotropically; cross terms have no usable sign.
+    iso = 0.5 * lev2 * yaw_var + 0.5 * walk
+    # continuous blend between the regimes: weight the levered form by
+    # how much of the path the net displacement covers (w=1 at and beyond
+    # |Δp| = path_len/2, so the straight-chain case stays exact; w→0 as
+    # Δp→0). A hard switch at the threshold made the GPS-gate variance
+    # jump between consecutive keyframes as dxy crossed it.
+    w = min(norm2 / lev2, 1.0) if lev2 > 0.0 else 1.0
+    var[0] += dk * trans_var + w * lev_x + (1.0 - w) * iso
+    var[1] += dk * trans_var + w * lev_y + (1.0 - w) * iso
     return var
 
 

@@ -791,30 +791,55 @@ class SlamEngine:
         noise = np.sqrt(np.asarray(fix.cov_xyz))
         if self._gps_warmup is not None:
             self._gps_warmup.append((fix.stamp, enu_raw, noise))
-            self._try_finalize_gps_anchor()
+            # stamp-matching clearly failing (e.g. GPS clock offset,
+            # sparse scans): don't buffer forever — finalize with whatever
+            # matched rather than silently discarding every fix
+            force = len(self._gps_warmup) >= max(
+                3 * self.cfg.gps_anchor_warmup, self.cfg.gps_anchor_warmup + 5
+            )
+            self._try_finalize_gps_anchor(force=force)
             return
         self.gps_queue.append(
             (fix.stamp, enu_raw + self.gps_slam_offset, noise)
         )
 
-    def _try_finalize_gps_anchor(self):
+    def _try_finalize_gps_anchor(self, force: bool = False):
         """Average the SLAM−ENU offset over the warmup fixes that have a
-        matching realtime pose (±0.06 s), then flush them into the fusion
-        queue (see EngineConfig.gps_anchor_warmup)."""
-        if not self.scan_stamps:
+        realtime pose within ``gps_time_tol`` of their stamp, then flush
+        them into the fusion queue (see EngineConfig.gps_anchor_warmup).
+
+        ``force`` finalizes with however many fixes matched (short or
+        sparse-GPS sequences where the warmup quota is never reached —
+        ``finish()`` forces so buffered fixes are never silently dropped);
+        when NO fix matched any scan stamp it falls back to the
+        reference's first-fix anchoring (`fast_lio_sam.cpp:156-159`)."""
+        if self._gps_warmup is None or (not force and not self.scan_stamps):
             return
-        stamps = np.asarray(self.scan_stamps)
-        matched = []
-        for (ts, enu, noise) in self._gps_warmup:
-            j = int(np.argmin(np.abs(stamps - ts)))
-            if abs(float(stamps[j]) - ts) <= 0.06:
-                matched.append((ts, enu, noise,
-                                self.realtime_traj[j][:3, 3]))
-        if len(matched) < self.cfg.gps_anchor_warmup:
-            return
-        self.gps_slam_offset = np.mean(
-            [p - enu for (_, enu, _, p) in matched], axis=0
+        tol = self.cfg.gps_time_tol
+        stamps = (
+            np.asarray(self.scan_stamps) if self.scan_stamps else None
         )
+        matched = []
+        if stamps is not None:
+            for (ts, enu, noise) in self._gps_warmup:
+                j = int(np.argmin(np.abs(stamps - ts)))
+                if abs(float(stamps[j]) - ts) <= tol:
+                    matched.append((ts, enu, noise,
+                                    self.realtime_traj[j][:3, 3]))
+        need = 1 if force else self.cfg.gps_anchor_warmup
+        if len(matched) < need:
+            if not force:
+                return
+            # nothing matched: reference-exact first-fix anchoring — the
+            # offset is the SLAM position nearest the first fix (zero with
+            # no trajectory, i.e. SLAM origin == first fix)
+            if stamps is not None and self._gps_warmup:
+                j = int(np.argmin(np.abs(stamps - self._gps_warmup[0][0])))
+                self.gps_slam_offset = self.realtime_traj[j][:3, 3].copy()
+        else:
+            self.gps_slam_offset = np.mean(
+                [p - enu for (_, enu, _, p) in matched], axis=0
+            )
         buffered, self._gps_warmup = self._gps_warmup, None
         for (ts, enu, noise) in buffered:
             self.gps_queue.append((ts, enu + self.gps_slam_offset, noise))
@@ -871,6 +896,23 @@ class SlamEngine:
         solve — call once at end of sequence (save_results does)."""
         while self._pending_chunks:
             self._resolve_chunk(self._pending_chunks.pop(0))
+        # never end a run with GPS fixes stranded in the anchor-warmup
+        # buffer (short or sparse-GPS sequences that miss the quota):
+        # finalize with whatever matched and retro-attach factors to the
+        # keyframes the flushed fixes correspond to
+        if (
+            self.cfg.use_gps
+            and self._gps_warmup is not None
+            and self._gps_warmup
+        ):
+            self._try_finalize_gps_anchor(force=True)
+            if self.gps_queue and self.kf.n > 0:
+                kf_stamps = np.asarray(self.kf.stamps[: self.kf.n])
+                kf_poses = np.asarray(self.graph.poses[: self.kf.n])
+                for k in range(self.kf.n):
+                    self._try_add_gps_factor(
+                        k, float(kf_stamps[k]), kf_poses[k]
+                    )
         self._resolve_pending_loop()
         if self._needs_solve:
             self._solve()

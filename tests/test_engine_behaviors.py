@@ -357,6 +357,32 @@ def test_gps_anchor_warmup_averages_offset():
     assert max(errs) < 2.0, errs  # individual fixes keep ~0.4 m noise + tails
 
 
+def test_gps_warmup_force_finalizes_on_finish():
+    """Sparse GPS: fewer fixes than the warmup quota must NOT be silently
+    discarded — finish() force-finalizes the anchor with whatever fixes
+    matched and retro-attaches factors to the corresponding keyframes
+    (advisor r4: _gps_warmup never finalized on short sequences and every
+    buffered fix was dropped)."""
+    from fastliosam_tpu.core.geodesy import LocalCartesian
+    from fastliosam_tpu.runtime import GpsFix
+
+    engine = tiny_engine(use_gps=True, gps_anchor_warmup=8,
+                         min_traj_len=0.1, gps_dist_thres=0.1)
+    anchor = (22.3193, 114.1694, 10.0)
+    lc = LocalCartesian.from_origin(*anchor)
+    # only 3 fixes ever arrive (< warmup 8), at scan stamps
+    drive(engine, 12)
+    for k in range(3):
+        t = 0.1 * k
+        lat, lon, alt = lc.reverse(jnp.asarray([t, 0.0, 0.0], jnp.float32))
+        engine._on_gps(GpsFix(stamp=t, lat=float(lat), lon=float(lon),
+                              alt=float(alt), cov_xyz=(0.09, 0.09, 0.09)))
+    assert engine._gps_warmup is not None  # quota never reached mid-run
+    engine.finish()
+    assert engine._gps_warmup is None, "finish() must finalize the anchor"
+    assert int(engine.graph.n_gps) >= 1, "flushed fixes must become factors"
+
+
 def test_deferred_depth2_matches_sync():
     """defer_depth=2 (two chunks in flight) still reproduces the
     synchronous path on a loop-free feed."""
