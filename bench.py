@@ -330,29 +330,43 @@ def bench_odometry(data):
     st, aux = roll(ctx["gt_state"](), scans, imus)  # warmup/compile
     aux["p"].block_until_ready()
 
-    t0 = time.perf_counter()
-    st, aux = roll(ctx["gt_state"](jitter=1e-4), scans, imus)
-    aux["p"].block_until_ready()
-    elapsed = time.perf_counter() - t0
-    scans_per_sec = S / elapsed
+    # timing: median of 3 reps, each with a fresh sub-mm init jitter so
+    # the relay's (executable, input) result cache never serves a rep
+    # (DESIGN §2b); throughput through the relay varies ~3x run-to-run, so
+    # a single draw is not a measurement (VERDICT r4 weak #2)
+    times, ps = [], None
+    for jit in (1e-4, 2e-4, 3e-4):
+        t0 = time.perf_counter()
+        st, aux = roll(ctx["gt_state"](jitter=jit), scans, imus)
+        aux["p"].block_until_ready()
+        times.append(time.perf_counter() - t0)
+        if ps is None:
+            ps = np.asarray(aux["p"])
+            matched = int(np.asarray(aux["n_matched"])[-1])
+    sps = [S / t for t in times]
+    scans_per_sec = float(np.median(sps))
+    spread = float(max(sps) - min(sps))
 
-    ps = np.asarray(aux["p"])
     ate, rpe = _ate_rpe(ps, data["gt_p"][:S], data["scan_dt"])
-    matched = np.asarray(aux["n_matched"])
-    return scans_per_sec, ate, rpe, int(matched[-1]), ctx
+    return scans_per_sec, spread, ate, rpe, matched, ctx
 
 
 def bench_no_gt_init(ctx, data):
     """Adversarial: no ground-truth initialization — the filter starts at
     identity with zero velocity and must survive the transient. ATE is
-    computed in the filter's own frame (first body frame)."""
+    computed in the filter's own frame (first body frame). Two identical
+    replicates: the spread must be 0.0 (determinism evidence)."""
     roll, scans, imus = ctx["roll"], ctx["scans"], ctx["imus"]
-    st, aux = roll(ctx["identity_state"](), scans, imus)
-    ps = np.asarray(aux["p"])
     R0, p0 = data["R0"], data["p0"]
     gt_local = (data["gt_p"][: ctx["S"]] - p0) @ R0  # R0.T @ (p - p0)
-    ate, rpe = _ate_rpe(ps, gt_local, data["scan_dt"])
-    return ate, rpe
+    ates, rpes = [], []
+    for _rep in range(2):
+        st, aux = roll(ctx["identity_state"](), scans, imus)
+        ps = np.asarray(aux["p"])
+        a, r = _ate_rpe(ps, gt_local, data["scan_dt"])
+        ates.append(a)
+        rpes.append(r)
+    return ates[0], rpes[0], max(ates) - min(ates)
 
 
 def bench_livox(budget_left):
@@ -372,7 +386,12 @@ def bench_livox(budget_left):
     return sps, ate
 
 
-def make_engine_for(data, raw_pts=RAW_PTS, chunk=5):
+def make_engine_for(data, raw_pts=RAW_PTS, chunk=5, max_kf=128,
+                    max_between=256, max_gps=64):
+    """Bench engine. Capacities are pre-sized PER FEED by the caller so no
+    capacity-growth solver recompile ever lands inside a timed region
+    (VERDICT r4 weak #5: the corridor feed needs ~200 keyframes and ~78
+    GPS factors, which blew the old fixed 128/64 caps mid-run)."""
     from fastliosam_tpu.loop import LoopConfig
     from fastliosam_tpu.map import VoxelMapConfig
     from fastliosam_tpu.odom import OdomConfig
@@ -392,7 +411,8 @@ def make_engine_for(data, raw_pts=RAW_PTS, chunk=5):
             radius=10.0, time_gap=4.0, num_submap_keyframes=5,
             voxel_res=0.3, submap_points=16384,
         ),
-        pgo_cfg=PoseGraphConfig(max_keyframes=128, max_between=256, max_gps=64),
+        pgo_cfg=PoseGraphConfig(max_keyframes=max_kf, max_between=max_between,
+                                max_gps=max_gps),
         cfg=EngineConfig(
             keyframe_threshold=1.0, loop_check_every=chunk,
             kf_cloud_points=4096, kf_cloud_voxel=0.3,
@@ -455,12 +475,12 @@ def bench_pipeline(chunk=5):
         )
     n_fed = len(feed) * chunk
 
-    def init_engine():
+    def init_engine(jitter=0.0):
         engine.reset()
         engine.odom = engine.odom._replace(
             nav=engine.odom.nav._replace(
                 R=jnp.asarray(data["R0"], jnp.float32),
-                p=jnp.asarray(data["p0"], jnp.float32),
+                p=jnp.asarray(data["p0"], jnp.float32) + jnp.float32(jitter),
                 v=jnp.asarray(data["v0"], jnp.float32),
             )
         )
@@ -469,36 +489,58 @@ def bench_pipeline(chunk=5):
     _run_pipeline(engine, feed)  # warm/compile
     warm_loops = len(engine.loop_pairs)
 
-    init_engine()
-    elapsed = _run_pipeline(engine, feed)
-    sps = n_fed / elapsed
-
-    rt = np.stack(engine.realtime_traj)[:, :3, 3]
-    raw = np.stack(engine.raw_traj)[:, :3, 3]
-    gt = data["gt_p"][:n_fed]
-    ate_rt, rpe_rt = _ate_rpe(rt, gt, dt)
+    # --- determinism replicate (identical inputs): the instrument's
+    # repeatability is REPORTED, not assumed — rep spread must be 0.0
+    # (within one process all reps share one compiled executable; the
+    # cross-process case is covered by the identical compile path +
+    # code_rev stamping, DESIGN §2k) ---
+    sync_ates, sync_rpes, sync_sps = [], [], []
+    for _rep in range(2):
+        init_engine()
+        el = _run_pipeline(engine, feed)
+        rt = np.stack(engine.realtime_traj)[:, :3, 3]
+        raw = np.stack(engine.raw_traj)[:, :3, 3]
+        gt = data["gt_p"][:n_fed]
+        a, r = _ate_rpe(rt, gt, dt)
+        sync_ates.append(a)
+        sync_rpes.append(r)
+        sync_sps.append(n_fed / el)
+        assert len(engine.loop_pairs) == warm_loops, "non-deterministic rerun"
     ate_raw, _ = _ate_rpe(raw, gt, dt)
-    assert len(engine.loop_pairs) == warm_loops, "non-deterministic rerun"
+    rep_spread = max(sync_ates) - min(sync_ates)
 
-    # production mode: deferred (pipelined) readback — chunk k's host sync
-    # + chunk-tail loop/solve latency hide behind chunk k+1's execution
-    init_engine()
-    el_def = _run_pipeline(engine, feed, deferred=True)
-    rt_d = np.stack(engine.realtime_traj)[:, :3, 3]
-    # ATE and RPE both from the deferred run (the headline pair must come
-    # from ONE execution); the synchronous run reports its own pair
-    ate_d, rpe_d = _ate_rpe(rt_d, gt, dt)
+    # --- production (deferred) mode: timing = median of 3 reps, each with
+    # a fresh sub-mm init jitter (fresh relay inputs, §2b); the ATE spread
+    # across the jittered reps bounds the pipeline's sensitivity to sub-mm
+    # perturbations (the honest "chaos bar" for this feed) ---
+    def_ates, def_rpes, def_sps = [], [], []
+    def_loops = def_solves = def_kf = None
+    for jit in (0.0, 1e-4, 2e-4):
+        init_engine(jit)
+        el_def = _run_pipeline(engine, feed, deferred=True)
+        rt_d = np.stack(engine.realtime_traj)[:, :3, 3]
+        a, r = _ate_rpe(rt_d, gt, dt)
+        def_ates.append(a)
+        def_rpes.append(r)
+        def_sps.append(n_fed / el_def)
+        if def_loops is None:
+            def_loops = len(engine.loop_pairs)
+            def_solves = engine.solve_count
+            def_kf = engine.kf.n
     return {
-        "pipeline_scans_per_sec": round(n_fed / el_def, 2),
-        "pipeline_ate_m": round(ate_d, 4),
-        "pipeline_rpe_1s_m": round(rpe_d, 4),
-        "pipeline_sync_scans_per_sec": round(sps, 2),
-        "pipeline_sync_ate_m": round(ate_rt, 4),
-        "pipeline_sync_rpe_1s_m": round(rpe_rt, 4),
+        "pipeline_scans_per_sec": round(float(np.median(def_sps)), 2),
+        "pipeline_sps_spread": round(max(def_sps) - min(def_sps), 2),
+        "pipeline_ate_m": round(def_ates[0], 4),
+        "pipeline_ate_jitter_sens_m": round(max(def_ates) - min(def_ates), 4),
+        "pipeline_rpe_1s_m": round(def_rpes[0], 4),
+        "pipeline_rep_spread_m": round(rep_spread, 6),
+        "pipeline_sync_scans_per_sec": round(float(np.median(sync_sps)), 2),
+        "pipeline_sync_ate_m": round(sync_ates[-1], 4),
+        "pipeline_sync_rpe_1s_m": round(sync_rpes[-1], 4),
         "odom_only_ate_m": round(ate_raw, 4),
-        "pipeline_loops": len(engine.loop_pairs),
-        "pipeline_solves": engine.solve_count,
-        "pipeline_keyframes": engine.kf.n,
+        "pipeline_loops": def_loops,
+        "pipeline_solves": def_solves,
+        "pipeline_keyframes": def_kf,
     }, engine, feed, data
 
 
@@ -554,7 +596,6 @@ def bench_gps_degraded(engine, feed, data):
     round-off stack up, so the floor is honest for this feed (DESIGN
     §2i)."""
     fixes = _fixes_from_data(data, degrade_middle=True)
-    _init_engine_at(engine, data)
     # robust options exercised here (the library defaults stay at
     # reference fidelity): Huber GPS residuals + an HONEST odometry noise
     # model. The reference's Variances(m²=1e-2) says each keyframe hop is
@@ -571,16 +612,22 @@ def bench_gps_degraded(engine, feed, data):
         odom_trans_sqrt_info=50.0, odom_rot_sqrt_info=1000.0,
     )
     engine._build_programs()
-    _run_pipeline(engine, feed, gps_fixes=fixes)
+    ates = []
+    for _rep in range(2):  # identical replicates: spread must be 0.0
+        _init_engine_at(engine, data)
+        _run_pipeline(engine, feed, gps_fixes=fixes)
+        rt = np.stack(engine.realtime_traj)[:, :3, 3]
+        gt = data["gt_p"][: len(rt)]
+        a, _ = _ate_rpe(rt, gt, float(data["scan_dt"]))
+        ates.append(a)
+    n_gps = int(engine.graph.n_gps)
     engine.cfg = old_cfg
     engine.pgo_cfg = engine.pgo_cfg._replace(gps_huber_delta=0.0)
     engine._build_programs()
-    rt = np.stack(engine.realtime_traj)[:, :3, 3]
-    gt = data["gt_p"][: len(rt)]
-    ate, _ = _ate_rpe(rt, gt, float(data["scan_dt"]))
     return {
-        "gps_degraded_ate_m": round(ate, 4),
-        "gps_factors_added": int(engine.graph.n_gps),
+        "gps_degraded_ate_m": round(ates[0], 4),
+        "gps_degraded_rep_spread_m": round(max(ates) - min(ates), 6),
+        "gps_factors_added": n_gps,
         "gps_fixes_offered": len(fixes),
     }
 
@@ -596,7 +643,10 @@ def bench_gps_corridor(chunk=5):
     from fastliosam_tpu.odom import ImuBatch, Scan
 
     data = _cached(CORR_CACHE, build_corridor_sequence)
-    engine = make_engine_for(data, chunk=chunk)
+    # pre-sized: ~200 keyframes + ~80 GPS factors on this feed — growth
+    # would recompile the solver mid-run (VERDICT r4 weak #5)
+    engine = make_engine_for(data, chunk=chunk, max_kf=256, max_between=512,
+                             max_gps=256)
     xyz, toff, mask = pad_scans(data)
     S = xyz.shape[0]
     stamps_all = np.asarray(data["stamps"], np.float64)
@@ -617,27 +667,37 @@ def bench_gps_corridor(chunk=5):
     n_fed = len(feed) * chunk
     gt = data["gt_p"][:n_fed]
 
-    # GPS off: pure odometry drift in the degenerate section
-    _init_engine_at(engine, data)
-    _run_pipeline(engine, feed)
-    rt_off = np.stack(engine.realtime_traj)[:, :3, 3]
-    ate_off, _ = _ate_rpe(rt_off, gt, dt)
+    # GPS off: pure odometry drift in the degenerate section. Two
+    # identical replicates (determinism evidence, spread must be 0.0)
+    ates_off = []
+    for _rep in range(2):
+        _init_engine_at(engine, data)
+        _run_pipeline(engine, feed)
+        rt_off = np.stack(engine.realtime_traj)[:, :3, 3]
+        a, _ = _ate_rpe(rt_off, gt, dt)
+        ates_off.append(a)
 
     # GPS on — covariance-weighted: the corridor fixes carry honest 0.3 m
     # noise; the reference's 1.0 m floor would down-weight them 3x for no
     # reason (the floor guards against over-trusting optimistic receivers,
     # config surface `gps_noise_floor`)
     fixes = _fixes_from_data(data)
-    _init_engine_at(engine, data)
+    ates_on = []
     engine.cfg = engine.cfg._replace(
         use_gps=True, gps_dist_thres=2.0, gps_noise_floor=0.25)
-    _run_pipeline(engine, feed, gps_fixes=fixes)
+    for _rep in range(2):
+        _init_engine_at(engine, data)
+        _run_pipeline(engine, feed, gps_fixes=fixes)
+        rt_on = np.stack(engine.realtime_traj)[:, :3, 3]
+        a, _ = _ate_rpe(rt_on, gt, dt)
+        ates_on.append(a)
     engine.cfg = engine.cfg._replace(use_gps=False, gps_noise_floor=1.0)
-    rt_on = np.stack(engine.realtime_traj)[:, :3, 3]
-    ate_on, _ = _ate_rpe(rt_on, gt, dt)
     return {
-        "corridor_ate_gps_off_m": round(ate_off, 4),
-        "corridor_ate_gps_on_m": round(ate_on, 4),
+        "corridor_ate_gps_off_m": round(ates_off[0], 4),
+        "corridor_ate_gps_on_m": round(ates_on[0], 4),
+        "corridor_rep_spread_m": round(
+            max(ates_off) - min(ates_off) + max(ates_on) - min(ates_on), 6
+        ),
         "corridor_gps_factors": int(engine.graph.n_gps),
         "corridor_gps_solves": engine.solve_count,
     }
@@ -673,7 +733,7 @@ def bench_solve_cadence(engine, feed, data):
 KITTI_SYNTH = os.path.join(REPO, "out", "kitti_synth_v2")
 
 
-def bench_kitti_longrun():
+def bench_kitti_longrun(budget_left=None):
     """Adversarial long-run through the REAL dataset path (VERDICT r2 #6):
     a 1160-scan urban-canyon circuit written as KITTI-format .bin files,
     read back through `io/kitti.py` + the native mmap reader and driven
@@ -744,12 +804,30 @@ def bench_kitti_longrun():
         voxel_res=0.3, submap_points=16384,
     )
     engine._build_programs()
-    engine.reset()
-    out = drive_kitti(engine, KITTI_SYNTH, "00", scan_capacity=RAW_PTS,
-                      chunk=5, progress=False)
+    # identical replicates (default 2): the ATE spread must be 0.0 — this
+    # feed is the chaotic one (DESIGN §2h), so its determinism evidence is
+    # the most load-bearing; reader throughput is the median (it varies
+    # ~3x through the relay for identical code, DESIGN §2e)
+    reps = int(os.environ.get("BENCH_LONGRUN_REPS", "2"))
+    if budget_left is not None and budget_left < 400:
+        reps = 1  # each rep is ~70-120 s through the relay
+    outs = []
+    for _rep in range(max(reps, 1)):
+        engine.reset()
+        outs.append(
+            drive_kitti(engine, KITTI_SYNTH, "00", scan_capacity=RAW_PTS,
+                        chunk=5, progress=False)
+        )
+    out = outs[0]
+    ates = [o.get("ate_m") for o in outs if o.get("ate_m") is not None]
     return {
-        "kitti_reader_scans_per_sec": out["scans_per_sec"],
+        "kitti_reader_scans_per_sec": round(
+            float(np.median([o["scans_per_sec"] for o in outs])), 2
+        ),
         "kitti_longrun_ate_m": out.get("ate_m"),
+        "kitti_longrun_rep_spread_m": (
+            round(max(ates) - min(ates), 6) if len(ates) > 1 else None
+        ),
         "kitti_longrun_rpe_1s_m": out.get("rpe_1s_m"),
         "kitti_longrun_loops": out["n_loops"],
         "kitti_longrun_keyframes": out["n_keyframes"],
@@ -860,9 +938,10 @@ def main():
         return budget_s - (time.perf_counter() - t_start)
 
     data = get_sequence()
-    scans_per_sec, ate, rpe, matched, ctx = bench_odometry(data)
+    scans_per_sec, sps_spread, ate, rpe, matched, ctx = bench_odometry(data)
     extras = {
         "odom_scans_per_sec": round(scans_per_sec, 2),
+        "odom_sps_spread": round(sps_spread, 2),
         "odom_ate_m": round(ate, 4),
         "odom_rpe_1s_m": round(rpe, 4),
     }
@@ -886,14 +965,15 @@ def main():
         ("loop_icp",
          lambda: {"loop_icp_ms_50it_16k": round(bench_loop_icp()[0], 2)}),
         ("no_gt_init",
-         lambda: dict(zip(("no_init_ate_m", "no_init_rpe_1s_m"),
-                          (round(v, 4) for v in bench_no_gt_init(ctx, data))))),
+         lambda: dict(zip(
+             ("no_init_ate_m", "no_init_rpe_1s_m", "no_init_rep_spread_m"),
+             (round(v, 4) for v in bench_no_gt_init(ctx, data))))),
         ("gps_degraded",
          lambda: bench_gps_degraded(engine, feed, pdata) if pipe else {}),
         ("gps_corridor", bench_gps_corridor),
         ("solve_cadence",
          lambda: bench_solve_cadence(engine, feed, pdata) if pipe else {}),
-        ("kitti_longrun", bench_kitti_longrun),
+        ("kitti_longrun", lambda: bench_kitti_longrun(budget_left=left())),
         ("livox",
          lambda: dict(zip(("livox_scans_per_sec", "livox_ate_m"),
                           (round(v, 3) for v in bench_livox(left()))))),
@@ -906,15 +986,18 @@ def main():
 
     # done-criteria flags (VERDICT r3 #6): GPS fusion must not degrade a
     # good trajectory by more than 2x, and must bound the corridor within
-    # 2 m of fix noise
+    # 2 m of fix noise. MARGIN-AWARE (VERDICT r4 weak #1): each flag
+    # reports its margin so a pass-by-draw is visible — a flag that passes
+    # with margin below the feed's measured jitter sensitivity is luck,
+    # not performance.
     if "gps_degraded_ate_m" in extras and "pipeline_ate_m" in extras:
-        extras["gps_degraded_within_2x"] = bool(
-            extras["gps_degraded_ate_m"] <= 2.0 * extras["pipeline_ate_m"]
-        )
+        margin = 2.0 * extras["pipeline_ate_m"] - extras["gps_degraded_ate_m"]
+        extras["gps_degraded_within_2x"] = bool(margin >= 0.0)
+        extras["gps_degraded_margin_m"] = round(margin, 4)
     if "corridor_ate_gps_on_m" in extras:
-        extras["corridor_gps_within_2m"] = bool(
-            extras["corridor_ate_gps_on_m"] <= 2.0
-        )
+        margin = 2.0 - extras["corridor_ate_gps_on_m"]
+        extras["corridor_gps_within_2m"] = bool(margin >= 0.0)
+        extras["corridor_gps_margin_m"] = round(margin, 4)
 
     if pipe is not None:
         primary = {
@@ -931,10 +1014,31 @@ def main():
             "unit": "scans/s",
             "vs_baseline": round(scans_per_sec / 10.0, 2),
         }
+    # stamp the exact code revision: round-4's "4x cross-run swings" were
+    # different COMMITS being compared (the in-round logs and the driver
+    # capture each ran different engine versions — provable from the
+    # engine.py line numbers in their warnings); at fixed code the
+    # instrument is bit-identical across processes (DESIGN §2k)
+    try:
+        import subprocess
+
+        rev = subprocess.run(
+            ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        dirty = subprocess.run(
+            ["git", "-C", REPO, "status", "--porcelain",
+             "--untracked-files=no"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        code_rev = rev + ("-dirty" if dirty else "")
+    except Exception:  # pragma: no cover
+        code_rev = "unknown"
     result = {
         **primary,
         **extras,
         "backend": backend,
+        "code_rev": code_rev,
         "n_scans": N_SCANS + N_WARM,
         "raw_pts_per_scan": RAW_PTS,
     }

@@ -114,6 +114,7 @@ def verify_loop(
     query_idx,
     cand_idx,
     cfg: LoopConfig,
+    icp_fn=None,
 ):
     """ICP-verify a loop candidate.
 
@@ -121,6 +122,11 @@ def verify_loop(
     between-factor measurement from query to candidate
     (``(icp_tf · T_q)⁻¹ · T_c``) and sqrt_info the diagonal sqrt information
     ``1/sqrt(fitness)`` (reference noise = Variances(fitness · I₆)).
+
+    ``icp_fn`` overrides the submap alignment backend:
+    ``(src, src_mask, dst, dst_mask) -> (T, fitness, n_corr)`` — the
+    multi-device point-sharded ICP (`parallel/sharded_loop.py:
+    icp_align_sharded`) plugs in here for the mesh-mode engine.
     """
     src, src_mask = build_submap(
         kf_clouds, kf_cloud_masks, poses, kf_valid, query_idx, cfg
@@ -133,7 +139,9 @@ def verify_loop(
     need_surfels = cfg.icp_method == "p2pl" or cfg.aniso_noise
     if need_surfels:
         dst_map, dst_map_cfg = _dst_surfel_map(dst, dst_mask, cfg)
-    if cfg.icp_method == "p2pl":
+    if icp_fn is not None:
+        icp_tf, fitness, n_corr = icp_fn(src, src_mask, dst, dst_mask)
+    elif cfg.icp_method == "p2pl":
         from ..map import voxel_hash as vh
 
         nrm_pts, _d_pts, nvalid = vh.query_planes(

@@ -149,12 +149,39 @@ class SlamEngine:
         loop_cfg: LoopConfig = LoopConfig(),
         pgo_cfg: PoseGraphConfig = PoseGraphConfig(),
         cfg: EngineConfig = EngineConfig(),
+        map_ops=None,
+        mesh=None,
+        shard_axis: str = "kf",
     ):
+        """``mesh`` switches the WHOLE pipeline to multi-device execution
+        (the MulRan-Riverside N≥2-host configuration, BASELINE.md #5):
+        the voxel-surfel map lives slot-sharded across the mesh
+        (`parallel/sharded_odom.sharded_map_ops` — query/insert/evict with
+        psum-fused collectives), the PGO solve shards its factor arrays
+        (`parallel/sharded_pgo.solve_sharded`), and loop-ICP verification
+        shards the source point axis (`parallel/sharded_loop.
+        icp_align_sharded`; untrimmed — PCL-exact semantics, so mesh mode
+        pins `trim_fraction` to 1.0). Keyframe poses/stamps stay
+        replicated (6K floats ≪ everything else). ``map_ops`` alone plugs
+        in just a custom map backend. Reference scaling pain points this
+        addresses: `loop_closure.cpp:25-38`, `fast_lio_sam.cpp:787-790`.
+        """
         self.odom_cfg = odom_cfg
         self.map_cfg = map_cfg
         self.loop_cfg = loop_cfg
         self.pgo_cfg = pgo_cfg
         self.cfg = cfg
+        self.mesh = mesh
+        self.shard_axis = shard_axis
+        if map_ops is None and mesh is not None:
+            from ..parallel.sharded_odom import sharded_map_ops
+
+            map_ops = sharded_map_ops(mesh, shard_axis)
+        self.map_ops = map_ops
+        if mesh is not None and loop_cfg.trim_fraction != 1.0:
+            # the point-sharded ICP is untrimmed (a global trim needs a
+            # distributed k-th order statistic); run PCL-exact semantics
+            self.loop_cfg = loop_cfg._replace(trim_fraction=1.0)
 
         # keyframe clouds come from the downsampled odometry cloud, so their
         # budget can never exceed the odometry point budget
@@ -167,6 +194,14 @@ class SlamEngine:
         compiled (jitted) programs — lets a benchmark or a multi-sequence
         driver reuse compilations across runs."""
         self.odom = init_odom(self.map_cfg, self.odom_cfg)
+        if getattr(self, "mesh", None) is not None:
+            from ..parallel.sharded_odom import shard_map_arrays
+
+            self.odom = self.odom._replace(
+                vmap=shard_map_arrays(
+                    self.odom.vmap, self.mesh, self.shard_axis
+                )
+            )
         self.graph: PoseGraph = make_graph(self.pgo_cfg)
         self.kf = KeyframeStore.create(self.pgo_cfg.max_keyframes, self.kf_points)
         self.last_kf_raw = np.eye(4, dtype=np.float32)
@@ -225,11 +260,21 @@ class SlamEngine:
         cfg = self.cfg
         self._jit_odom = jax.jit(
             lambda s, scan, imu, dt: odom_step(
-                s, scan, imu, dt, self.odom_cfg, self.map_cfg
+                s, scan, imu, dt, self.odom_cfg, self.map_cfg,
+                map_ops=self.map_ops,
             ),
             donate_argnums=(0,),
         )
-        self._jit_solve = jax.jit(lambda g: solve(g, self.pgo_cfg))
+        if self.mesh is not None:
+            from ..parallel.sharded_pgo import solve_sharded
+
+            self._jit_solve = jax.jit(
+                lambda g: solve_sharded(
+                    g, self.pgo_cfg, self.mesh, self.shard_axis
+                )
+            )
+        else:
+            self._jit_solve = jax.jit(lambda g: solve(g, self.pgo_cfg))
         # world-frame marginal: the raw 6×6 lives in the keyframe's local
         # tangent frame; the GPS-gate extrapolation levers it against a
         # world-frame displacement, so conjugate by the keyframe rotation
@@ -252,14 +297,26 @@ class SlamEngine:
         )
         verify_device = (
             jax.devices()[cfg.loop_device]
-            if cfg.loop_device is not None
+            if self.mesh is None
+            and cfg.loop_device is not None
             and cfg.loop_device < len(jax.devices())
             else None
         )
         self._verify_device = verify_device
+        icp_fn = None
+        if self.mesh is not None:
+            from ..parallel.sharded_loop import icp_align_sharded
+
+            lc = self.loop_cfg
+            icp_fn = lambda s, sm, d, dm: icp_align_sharded(  # noqa: E731
+                s, sm, d, dm, self.mesh, self.shard_axis,
+                max_iterations=lc.max_iterations,
+                max_corr_dist=lc.radius * lc.max_corr_factor,
+                nn_chunk=lc.nn_chunk,
+            )
         self._jit_verify = jax.jit(
             lambda cl, mk, poses, valid, qi, ci: verify_loop(
-                cl, mk, poses, valid, qi, ci, self.loop_cfg
+                cl, mk, poses, valid, qi, ci, self.loop_cfg, icp_fn=icp_fn
             ),
             device=verify_device,
         )
@@ -313,7 +370,8 @@ class SlamEngine:
                  last_raw, last_corr) = carry
                 scan, imu, stamp = inp
                 odom, aux = odom_step(
-                    odom, scan, imu, scan_dt, self.odom_cfg, self.map_cfg
+                    odom, scan, imu, scan_dt, self.odom_cfg, self.map_cfg,
+                    map_ops=self.map_ops,
                 )
                 raw_T = se3.make(aux["R"], aux["p"])
                 # realtime delta-chaining (fast_lio_sam.cpp:374-384)
