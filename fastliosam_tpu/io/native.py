@@ -48,6 +48,12 @@ def _load():
             ctypes.c_char_p, ctypes.c_int, ctypes.POINTER(ctypes.c_float),
             ctypes.c_int, ctypes.POINTER(ctypes.c_int), ctypes.c_int,
         ]
+        lib.fls_read_bins_q16.restype = ctypes.c_int
+        lib.fls_read_bins_q16.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.POINTER(ctypes.c_int16),
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_int,
+        ]
         lib.fls_prefetcher_create.restype = ctypes.c_void_p
         lib.fls_prefetcher_create.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int
@@ -107,6 +113,49 @@ def read_bins(paths: list[str], capacity: int, n_threads: int = 4):
             return out, counts
     for i, p in enumerate(paths):
         out[i], counts[i] = read_bin(p, capacity)
+    return out, counts
+
+
+def read_bins_q16(paths: list[str], capacity: int, stride: int = 1,
+                  blind: float = 0.0, max_range: float = 0.0,
+                  scale: float = 1.0 / 256.0, n_threads: int = 4):
+    """Production reader path: batch of .bin files decoded with the FAST-LIO
+    preprocess filters (``stride`` = point_filter_num, ``blind``,
+    ``max_range`` = det_range) applied host-side and xyz quantized to int16
+    fixed point (``q = round(x / scale)``, decode on device with
+    ``x = q * scale``). Returns ``((len(paths), capacity, 3) int16,
+    counts)`` — half the upload bytes of float32 before the stride cut
+    even starts. Pad lanes are zero; mask by count."""
+    lib = _load()
+    count = len(paths)
+    out = np.empty((count, capacity, 3), np.int16)
+    counts = np.empty(count, np.int32)
+    if lib is not None:
+        joined = "\n".join(paths).encode()
+        rc = lib.fls_read_bins_q16(
+            joined, count, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            capacity,
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            int(stride), float(blind), float(max_range), float(1.0 / scale),
+            n_threads,
+        )
+        if rc == 0:
+            return out, counts
+    # numpy fallback (identical semantics)
+    for i, p in enumerate(paths):
+        raw = np.fromfile(p, dtype=np.float32).reshape(-1, 4)[:, :3]
+        if stride > 1:
+            raw = raw[::stride]
+        r2 = np.sum(raw * raw, axis=1)
+        keep = r2 > blind * blind
+        if max_range > 0.0:
+            keep &= r2 < max_range * max_range
+        raw = raw[keep][:capacity]
+        q = np.clip(np.rint(raw / scale), -32767, 32767).astype(np.int16)
+        n = len(q)
+        out[i, :n] = q
+        out[i, n:] = 0
+        counts[i] = n
     return out, counts
 
 

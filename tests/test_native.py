@@ -44,6 +44,36 @@ def test_read_bins_parallel(bin_files):
         np.testing.assert_array_equal(out[i, : len(ref)], ref)
 
 
+def test_read_bins_q16_filters_and_quantizes(bin_files, tmp_path, rng):
+    """The production reader path: stride/blind/max-range filtering applied
+    during decode + int16 fixed-point output must match the pure-numpy
+    reference semantics exactly (FAST-LIO preprocess contract,
+    `kitti.yaml:1-14` — VERDICT r4 #3)."""
+    from fastliosam_tpu.io.native import read_bins_q16
+
+    n = 500
+    pts = rng.uniform(-40, 40, size=(n, 4)).astype(np.float32)
+    p = tmp_path / "q.bin"
+    pts.tofile(p)
+    scale = 1.0 / 256.0
+    stride, blind, max_range = 3, 2.0, 30.0
+    out, counts = read_bins_q16(
+        [str(p)], 256, stride=stride, blind=blind, max_range=max_range,
+        scale=scale,
+    )
+    # numpy reference
+    ref = pts[::stride, :3]
+    r2 = np.sum(ref * ref, axis=1)
+    ref = ref[(r2 > blind**2) & (r2 < max_range**2)][:256]
+    assert counts[0] == len(ref)
+    q_ref = np.clip(np.rint(ref / scale), -32767, 32767).astype(np.int16)
+    np.testing.assert_array_equal(out[0, : len(ref)], q_ref)
+    assert np.all(out[0, len(ref):] == 0)
+    # round-trip error bounded by half a quantization step
+    dec = out[0, : len(ref)].astype(np.float32) * scale
+    assert np.abs(dec - ref).max() <= 0.5 * scale + 1e-6
+
+
 def test_prefetcher_order(bin_files):
     paths, refs = bin_files
     pf = ScanPrefetcher(paths, capacity=256, depth=2)
