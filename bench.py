@@ -420,6 +420,32 @@ def make_engine_for(data, raw_pts=RAW_PTS, chunk=5, max_kf=128,
     )
 
 
+def _stage_chunks(data, chunk):
+    """Pre-stage a packed sequence as device chunks for the engine path."""
+    import jax.numpy as jnp
+
+    from fastliosam_tpu.odom import ImuBatch, Scan
+
+    xyz, toff, mask = pad_scans(data)
+    S = xyz.shape[0]
+    stamps_all = np.asarray(data["stamps"], np.float64)
+    dt = float(data["scan_dt"])
+    feed = []
+    for c in range(0, S - (S % chunk), chunk):
+        sl = slice(c, c + chunk)
+        scans = Scan(xyz=jnp.asarray(xyz[sl]), t_offset=jnp.asarray(toff[sl]),
+                     mask=jnp.asarray(mask[sl]))
+        imus = ImuBatch(
+            stamps=jnp.asarray(data["imu_t"][sl]),
+            gyro=jnp.asarray(data["imu_g"][sl]),
+            acc=jnp.asarray(data["imu_a"][sl]),
+            mask=jnp.asarray(data["imu_m"][sl]),
+        )
+        feed.append((scans, imus, stamps_all[sl], dt,
+                     float(stamps_all[sl][0]) - dt, float(stamps_all[sl][-1])))
+    return feed, dt
+
+
 def _run_pipeline(engine, feed, gps_fixes=None, deferred=False):
     """One full engine run over pre-staged chunks; returns wall seconds.
     ``deferred`` uses the one-chunk-deep pipelined readback (the production
@@ -445,34 +471,11 @@ def bench_pipeline(chunk=5):
     reuses the jitted programs via engine.reset()."""
     import jax.numpy as jnp
 
-    from fastliosam_tpu.odom import ImuBatch, Scan
-
     data = _cached(PIPE_CACHE, build_fig8_sequence)
     engine = make_engine_for(data, chunk=chunk)
-    xyz, toff, mask = pad_scans(data)
-    S = xyz.shape[0]
-    stamps_all = np.asarray(data["stamps"], np.float64)
-    dt = float(data["scan_dt"])
-
     # pre-stage device chunks (the timed region measures the pipeline, not
     # host np->device feeding; run_slam.py measures the streaming case)
-    feed = []
-    for c in range(0, S - (S % chunk), chunk):
-        sl = slice(c, c + chunk)
-        scans = Scan(
-            xyz=jnp.asarray(xyz[sl]), t_offset=jnp.asarray(toff[sl]),
-            mask=jnp.asarray(mask[sl]),
-        )
-        imus = ImuBatch(
-            stamps=jnp.asarray(data["imu_t"][sl]),
-            gyro=jnp.asarray(data["imu_g"][sl]),
-            acc=jnp.asarray(data["imu_a"][sl]),
-            mask=jnp.asarray(data["imu_m"][sl]),
-        )
-        feed.append(
-            (scans, imus, stamps_all[sl], dt,
-             float(stamps_all[sl][0]) - dt, float(stamps_all[sl][-1]))
-        )
+    feed, dt = _stage_chunks(data, chunk)
     n_fed = len(feed) * chunk
 
     def init_engine(jitter=0.0):
@@ -638,32 +641,12 @@ def bench_gps_corridor(chunk=5):
     corridor-degeneracy ATE, SURVEY §7 hard-part 7) and on (GPS unary
     factors + PGO solves bound the drift). Done-criterion VERDICT r2 #3:
     gps_factors_added > 0 and ATE(on) < ATE(off) on TPU."""
-    import jax.numpy as jnp
-
-    from fastliosam_tpu.odom import ImuBatch, Scan
-
     data = _cached(CORR_CACHE, build_corridor_sequence)
     # pre-sized: ~200 keyframes + ~80 GPS factors on this feed — growth
     # would recompile the solver mid-run (VERDICT r4 weak #5)
     engine = make_engine_for(data, chunk=chunk, max_kf=256, max_between=512,
                              max_gps=256)
-    xyz, toff, mask = pad_scans(data)
-    S = xyz.shape[0]
-    stamps_all = np.asarray(data["stamps"], np.float64)
-    dt = float(data["scan_dt"])
-    feed = []
-    for c in range(0, S - (S % chunk), chunk):
-        sl = slice(c, c + chunk)
-        scans = Scan(xyz=jnp.asarray(xyz[sl]), t_offset=jnp.asarray(toff[sl]),
-                     mask=jnp.asarray(mask[sl]))
-        imus = ImuBatch(
-            stamps=jnp.asarray(data["imu_t"][sl]),
-            gyro=jnp.asarray(data["imu_g"][sl]),
-            acc=jnp.asarray(data["imu_a"][sl]),
-            mask=jnp.asarray(data["imu_m"][sl]),
-        )
-        feed.append((scans, imus, stamps_all[sl], dt,
-                     float(stamps_all[sl][0]) - dt, float(stamps_all[sl][-1])))
+    feed, dt = _stage_chunks(data, chunk)
     n_fed = len(feed) * chunk
     gt = data["gt_p"][:n_fed]
 
@@ -727,25 +710,88 @@ def bench_solve_cadence(engine, feed, data):
     }
 
 
+def bench_reference_exact(chunk=5):
+    """Reference-exact mode (VERDICT r4 #5): every documented divergence
+    restored to the spec values — loop radius 35 m / 30 s gap, untrimmed
+    point-to-point ICP accepted on fitness alone, isotropic fitness·I₆
+    noise, no slide rejection, keyframe threshold 0 (every moving frame,
+    `config.yaml:7`), per-keyframe solves (`fast_lio_sam.cpp:494-513`),
+    first-fix ENU anchoring, 1.0 m GPS noise floor, 5 m GPS spacing.
+    Runs the fig-8 pipeline feed and the corridor GPS feed through the
+    mode. NOTE the fig-8 feed spans 15 s, so the reference's 30 s loop
+    time-gap admits no candidates — loops=0 is the spec behaving as
+    specified, not a gap (the divergence table in PARITY.md records the
+    measured deltas of each divergent default)."""
+    from fastliosam_tpu.loop import LoopConfig
+    from fastliosam_tpu.map import VoxelMapConfig
+    from fastliosam_tpu.odom import OdomConfig
+    from fastliosam_tpu.pgo import PoseGraphConfig
+    from fastliosam_tpu.runtime import EngineConfig, SlamEngine
+
+    def make_refexact(max_kf, max_between, max_gps, use_gps=False):
+        return SlamEngine(
+            odom_cfg=OdomConfig(
+                point_filter_num=1, blind=1.0, filter_size_surf=0.5,
+                num_ds_points=8192, det_range=150.0, evict_every=10_000,
+                query_mode="merged3",
+            ),
+            map_cfg=VoxelMapConfig(capacity=1 << 19, voxel_size=0.5,
+                                   min_points=5, query_probes=2,
+                                   insert_probes=2, claim_probes=2),
+            loop_cfg=LoopConfig.reference_exact(submap_points=16384),
+            pgo_cfg=PoseGraphConfig(max_keyframes=max_kf,
+                                    max_between=max_between, max_gps=max_gps),
+            cfg=EngineConfig.reference_exact(
+                loop_check_every=chunk, kf_cloud_points=4096,
+                kf_cloud_voxel=0.3, use_gps=use_gps, gps_time_tol=0.05,
+            ),
+        )
+
+    out = {}
+    # fig-8: threshold-0 keyframing -> one keyframe per scan (150)
+    data = _cached(PIPE_CACHE, build_fig8_sequence)
+    feed, dt = _stage_chunks(data, chunk)
+    n_fed = len(feed) * chunk
+    engine = make_refexact(256, 512, 64)
+    _init_engine_at(engine, data)
+    _run_pipeline(engine, feed)
+    rt = np.stack(engine.realtime_traj)[:, :3, 3]
+    ate, _ = _ate_rpe(rt, data["gt_p"][:n_fed], dt)
+    out["refexact_fig8_ate_m"] = round(ate, 4)
+    out["refexact_fig8_loops"] = len(engine.loop_pairs)
+    out["refexact_fig8_keyframes"] = engine.kf.n
+    out["refexact_fig8_solves"] = engine.solve_count
+
+    # corridor with GPS: the reference GPS policy end-to-end
+    data_c = _cached(CORR_CACHE, build_corridor_sequence)
+    feed_c, dt_c = _stage_chunks(data_c, chunk)
+    n_c = len(feed_c) * chunk
+    engine_c = make_refexact(512, 1024, 64, use_gps=True)
+    fixes = _fixes_from_data(data_c)
+    _init_engine_at(engine_c, data_c)
+    _run_pipeline(engine_c, feed_c, gps_fixes=fixes)
+    rt_c = np.stack(engine_c.realtime_traj)[:, :3, 3]
+    ate_c, _ = _ate_rpe(rt_c, data_c["gt_p"][:n_c], dt_c)
+    out["refexact_corridor_ate_gps_on_m"] = round(ate_c, 4)
+    out["refexact_corridor_gps_factors"] = int(engine_c.graph.n_gps)
+    out["refexact_corridor_solves"] = engine_c.solve_count
+    return out
+
+
 # v2: Velodyne-convention sweep timing + from-rest start on a textured
 # street (the v1 feed started at 8 m/s inside the featureless canyon with
 # time-reversed deskew offsets — unobservable AND mis-deskewed)
 KITTI_SYNTH = os.path.join(REPO, "out", "kitti_synth_v2")
 
 
-def bench_kitti_longrun(budget_left=None):
-    """Adversarial long-run through the REAL dataset path (VERDICT r2 #6):
-    a 1160-scan urban-canyon circuit written as KITTI-format .bin files,
-    read back through `io/kitti.py` + the native mmap reader and driven
-    through the chunked engine (LiDAR-only constant-velocity mode — KITTI
-    odometry has no IMU). Reports reader-path throughput + long-run ATE."""
-    from fastliosam_tpu.runtime.drivers import drive_kitti
+LONGRUN_SCANS = 1160
 
-    LONGRUN_SCANS = 1160
-    # stale-dataset guard checks the actual scan count, not just file
-    # existence: a truncated debug dataset silently passed the r3 guard and
-    # the recorded "long-run" covered 17% of the circuit (VERDICT r3 #1)
-    velo = os.path.join(KITTI_SYNTH, "sequences", "00", "velodyne")
+
+def _ensure_longrun_dataset(root, rich=False):
+    """Stale-dataset guard checks the actual scan count, not just file
+    existence: a truncated debug dataset silently passed the r3 guard and
+    the recorded "long-run" covered 17% of the circuit (VERDICT r3 #1)."""
+    velo = os.path.join(root, "sequences", "00", "velodyne")
     n_bins = (
         len([f for f in os.listdir(velo) if f.endswith(".bin")])
         if os.path.isdir(velo)
@@ -759,51 +805,60 @@ def bench_kitti_longrun(budget_left=None):
               f"{LONGRUN_SCANS} scans present, one-time)...", file=sys.stderr)
         import shutil
 
-        shutil.rmtree(KITTI_SYNTH, ignore_errors=True)
-        generate(KITTI_SYNTH, "00", n_scans=LONGRUN_SCANS, progress=False)
+        shutil.rmtree(root, ignore_errors=True)
+        generate(root, "00", n_scans=LONGRUN_SCANS, progress=False,
+                 rich=rich)
 
+
+def _make_longrun_engine(loop_cfg=None):
+    """The circuit-longrun engine: FoV-sliding eviction ON (det_range 60 m,
+    pass every 50 scans — the default bench engine keeps the map forever,
+    so on lap 2 the scan meets the lap-1 walls displaced by accumulated
+    drift and the filter fights its own stale map; eviction = FAST-LIO's
+    det_range/cube_side semantics, kitti.yaml mapping.det_range), graph
+    capacities pre-sized for ~900 keyframes over 2 laps.
+
+    Default loop gates are TIGHTER than the reference's 35 m/30 s
+    (config.yaml:11-12) — deliberate: in a self-similar canyon a wide
+    radius admits candidates whose initial error exceeds the geometry's
+    basin of attraction, and ICP "verifies" slides with small fitness
+    (measured: radius 35 accepted 13-21 m wrong loops, circuit ATE
+    2 -> 8-27 m across configs; PARITY.md divergence audit). A 10 m radius
+    self-gates: candidates only fire when the corrected pose is already
+    close, every accepted loop is small-error, and the correction keeps
+    the trajectory inside the gate. loop_huber deliberately off (capped
+    the CORRECT far corrections too: 12 -> 22 m); slide handling is the
+    verifier's direction-informed rejection + anisotropic noise."""
     from fastliosam_tpu.loop import LoopConfig
+    from fastliosam_tpu.odom import OdomConfig as _OC
     from fastliosam_tpu.pgo import PoseGraphConfig
 
     engine = make_engine_for(None, chunk=5)
-    # FoV-sliding eviction ON (det_range 60 m, pass every 50 scans): the
-    # default bench engine keeps the map forever, so on lap 2 the scan
-    # meets the lap-1 walls displaced by the accumulated drift and the
-    # filter fights its own stale map (measured: every lap-2 canyon
-    # blow-up traced to this conflict). Eviction = FAST-LIO's
-    # det_range/cube_side semantics (kitti.yaml mapping.det_range).
-    from fastliosam_tpu.odom import OdomConfig as _OC
-
     engine.odom_cfg = _OC(
         point_filter_num=1, blind=1.0, filter_size_surf=0.5,
         num_ds_points=8192, det_range=60.0, evict_every=50,
         query_mode="merged3",
     )
-    # ~900 keyframes over 2 laps: allocate up front so the chunked program
-    # and solver compile once instead of recompiling at each capacity growth
-    # NOTE: loop_huber_delta deliberately NOT set here — on this circuit
-    # the correct corner-loop corrections are themselves large residuals
-    # (drift is the initialization error), and Huber capped them along
-    # with the slides: measured ATE got WORSE (12 -> 22 m). Slide handling
-    # is the loop verifier's direction-informed rejection + anisotropic
-    # noise instead (LoopConfig.degen_move_limit / aniso_noise).
     engine.pgo_cfg = PoseGraphConfig(
         max_keyframes=1024, max_between=2048, max_gps=64)
-    # loop gates TIGHTER than the reference's 35 m/30 s (config.yaml:11-12)
-    # — deliberate: in a self-similar canyon a wide radius admits
-    # candidates whose initial error exceeds the geometry's basin of
-    # attraction, and ICP "verifies" slides with small fitness (measured:
-    # radius 35 accepted 13-21 m wrong loops and the circuit ATE went
-    # 2 -> 8-27 m across configs). A 10 m radius self-gates: candidates
-    # only fire when the corrected pose is already close, every accepted
-    # loop is small-error, and the correction keeps the trajectory inside
-    # the gate (virtuous cycle). The aniso noise + slide rejection
-    # (loop/closure.py) guard the residual borderline cases.
-    engine.loop_cfg = LoopConfig(
+    engine.loop_cfg = loop_cfg or LoopConfig(
         radius=10.0, time_gap=4.0, num_submap_keyframes=5,
         voxel_res=0.3, submap_points=16384,
     )
     engine._build_programs()
+    return engine
+
+
+def bench_kitti_longrun(budget_left=None):
+    """Adversarial long-run through the REAL dataset path (VERDICT r2 #6):
+    a 1160-scan urban-canyon circuit written as KITTI-format .bin files,
+    read back through `io/kitti.py` + the native mmap reader and driven
+    through the chunked engine (LiDAR-only constant-velocity mode — KITTI
+    odometry has no IMU). Reports reader-path throughput + long-run ATE."""
+    from fastliosam_tpu.runtime.drivers import drive_kitti
+
+    _ensure_longrun_dataset(KITTI_SYNTH)
+    engine = _make_longrun_engine()
     # identical replicates (default 2): the ATE spread must be 0.0 — this
     # feed is the chaotic one (DESIGN §2h), so its determinism evidence is
     # the most load-bearing; reader throughput is the median (it varies
@@ -832,6 +887,116 @@ def bench_kitti_longrun(budget_left=None):
         "kitti_longrun_loops": out["n_loops"],
         "kitti_longrun_keyframes": out["n_keyframes"],
         "kitti_longrun_scans": out["n_scans"],
+    }
+
+
+KITTI_RICH = os.path.join(REPO, "out", "kitti_synth_rich")
+
+
+def bench_longrun_oracle():
+    """Upper-bound experiment (VERDICT r4 #4a): the canyon circuit driven
+    with loop closure DISABLED, then ground-truth loop factors injected
+    into the pose graph (same 10 m/4 s gating as the shipped config, the
+    measurement being the exact GT relative pose) and one batch solve.
+    The resulting ATE is the floor the odometry chain + solver reach when
+    every loop is PERFECT — it separates "the loop machinery is weak"
+    from "the scan geometry is the information limit" (DESIGN §2h).
+    Also reports the unsolved odometry-only keyframe ATE as the ceiling."""
+    import jax
+    import jax.numpy as jnp
+
+    from fastliosam_tpu.eval import align_umeyama
+    from fastliosam_tpu.io import KittiSequence
+    from fastliosam_tpu.loop import LoopConfig
+    from fastliosam_tpu.pgo import from_arrays, solve
+    from fastliosam_tpu.runtime.drivers import drive_kitti
+
+    _ensure_longrun_dataset(KITTI_SYNTH)
+    engine = _make_longrun_engine(LoopConfig(
+        radius=1e-3, time_gap=1e9, num_submap_keyframes=5,
+        voxel_res=0.3, submap_points=16384,
+    ))
+    drive_kitti(engine, KITTI_SYNTH, "00", scan_capacity=RAW_PTS,
+                chunk=5, progress=False)
+    assert len(engine.loop_pairs) == 0
+
+    seq = KittiSequence(KITTI_SYNTH, "00")
+    gt = seq.gt_poses()
+    times = np.asarray(seq.times, np.float64)
+    n = engine.kf.n
+    kf_st = np.asarray(engine.kf.stamps[:n], np.float64)
+    scan_of_kf = np.clip(
+        np.round((kf_st - times[0]) / 0.1).astype(int), 0, len(times) - 1
+    )
+    Tgt = gt[scan_of_kf]
+    pos_gt = Tgt[:, :3, 3]
+
+    # GT loop factors with the shipped gating (radius 10 m, gap 4 s),
+    # one per (later) keyframe — the engine's processed-once semantics
+    li, lj, lrel = [], [], []
+    for i in range(n):
+        d = np.linalg.norm(pos_gt[:i] - pos_gt[i], axis=1)
+        ok = np.where((d < 10.0) & (kf_st[i] - kf_st[:i] > 4.0))[0]
+        if len(ok):
+            j = int(ok[np.argmin(d[ok])])
+            li.append(i)
+            lj.append(j)
+            lrel.append(np.linalg.inv(Tgt[i]) @ Tgt[j])
+
+    g = engine.graph
+    n_bt = int(g.n_bt)
+    bt_i = np.concatenate([np.asarray(g.bt_i[:n_bt]), np.asarray(li)])
+    bt_j = np.concatenate([np.asarray(g.bt_j[:n_bt]), np.asarray(lj)])
+    bt_rel = np.concatenate(
+        [np.asarray(g.bt_rel[:n_bt]),
+         np.asarray(lrel, np.float32).reshape(-1, 4, 4)]
+    )
+    si_loop = np.tile(
+        np.asarray([[100.0] * 3 + [1000.0] * 3], np.float32), (len(li), 1)
+    )
+    bt_si = np.concatenate([np.asarray(g.bt_sqrt_info[:n_bt]), si_loop])
+    cfg = engine.pgo_cfg._replace(lm_iters=12, pcg_iters=192)
+    poses0 = np.asarray(g.poses)
+    est0 = poses0[:n, :3, 3]
+    g_or = from_arrays(cfg, poses0[: max(n, 1)], bt_i=bt_i, bt_j=bt_j,
+                       bt_rel=bt_rel, bt_sqrt_info=bt_si)
+    g_or, cost = jax.jit(lambda gg: solve(gg, cfg))(g_or)
+    est = np.asarray(g_or.poses[:n, :3, 3])
+
+    def _kf_ate(e):
+        _, R, t = align_umeyama(e, pos_gt)
+        e = e @ R.T + t
+        return float(np.sqrt(np.mean(np.sum((e - pos_gt) ** 2, axis=1))))
+
+    return {
+        "oracle_loops_injected": len(li),
+        "oracle_odom_kf_ate_m": round(_kf_ate(est0), 4),
+        "oracle_solved_kf_ate_m": round(_kf_ate(est), 4),
+    }
+
+
+def bench_kitti_rich():
+    """Upper-bound experiment (VERDICT r4 #4b): the SAME circuit driven
+    through a feature-rich world (no featureless canyon — gappy facades +
+    clutter on all four streets) with the REFERENCE-SPEC loop gates
+    (radius 35 m / 30 s, `config.yaml:11-12`) as the shipped config. When
+    the geometry conditions loop ICP everywhere, the machinery must reach
+    ~1 m ATE with the wide radius — proving the canyon's tighter 10 m
+    gate is a property of that feed's self-similarity, not a crutch."""
+    from fastliosam_tpu.loop import LoopConfig
+    from fastliosam_tpu.runtime.drivers import drive_kitti
+
+    _ensure_longrun_dataset(KITTI_RICH, rich=True)
+    engine = _make_longrun_engine(LoopConfig(
+        radius=35.0, time_gap=30.0, num_submap_keyframes=5,
+        voxel_res=0.3, submap_points=16384,
+    ))
+    out = drive_kitti(engine, KITTI_RICH, "00", scan_capacity=RAW_PTS,
+                      chunk=5, progress=False)
+    return {
+        "rich_ref_radius_ate_m": out.get("ate_m"),
+        "rich_ref_radius_loops": out["n_loops"],
+        "rich_ref_radius_keyframes": out["n_keyframes"],
     }
 
 
@@ -932,7 +1097,7 @@ def main():
         jax.config.update("jax_platforms", plat)
     backend = jax.default_backend()
     t_start = time.perf_counter()
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "2200"))
 
     def left():
         return budget_s - (time.perf_counter() - t_start)
@@ -960,27 +1125,35 @@ def main():
     # secondary metrics, best-effort inside the time budget — the primary
     # JSON line must always be printed (first compiles on the
     # remote-compile TPU path can take minutes each)
-    for name, fn in (
-        ("pgo", lambda: {"pgo_solve_ms_512kf": round(bench_pgo()[0], 2)}),
+    for name, fn, min_left in (
+        ("pgo", lambda: {"pgo_solve_ms_512kf": round(bench_pgo()[0], 2)}, 60),
         ("loop_icp",
-         lambda: {"loop_icp_ms_50it_16k": round(bench_loop_icp()[0], 2)}),
+         lambda: {"loop_icp_ms_50it_16k": round(bench_loop_icp()[0], 2)}, 60),
         ("no_gt_init",
          lambda: dict(zip(
              ("no_init_ate_m", "no_init_rpe_1s_m", "no_init_rep_spread_m"),
-             (round(v, 4) for v in bench_no_gt_init(ctx, data))))),
+             (round(v, 4) for v in bench_no_gt_init(ctx, data)))), 60),
         ("gps_degraded",
-         lambda: bench_gps_degraded(engine, feed, pdata) if pipe else {}),
-        ("gps_corridor", bench_gps_corridor),
+         lambda: bench_gps_degraded(engine, feed, pdata) if pipe else {}, 90),
+        ("gps_corridor", bench_gps_corridor, 120),
         ("solve_cadence",
-         lambda: bench_solve_cadence(engine, feed, pdata) if pipe else {}),
-        ("kitti_longrun", lambda: bench_kitti_longrun(budget_left=left())),
+         lambda: bench_solve_cadence(engine, feed, pdata) if pipe else {},
+         60),
+        ("reference_exact", bench_reference_exact, 180),
+        ("kitti_longrun",
+         lambda: bench_kitti_longrun(budget_left=left()), 150),
+        ("longrun_oracle", bench_longrun_oracle, 150),
+        ("kitti_rich", bench_kitti_rich, 150),
         ("livox",
          lambda: dict(zip(("livox_scans_per_sec", "livox_ate_m"),
-                          (round(v, 3) for v in bench_livox(left()))))),
+                          (round(v, 3) for v in bench_livox(left())))), 60),
     ):
         try:
-            if left() > 60:
+            if left() > min_left:
                 extras.update(fn())
+            else:  # record WHAT was skipped — no silent truncation
+                print(f"# bench_{name} skipped (budget)", file=sys.stderr)
+                extras.setdefault("sections_skipped", []).append(name)
         except Exception as e:  # pragma: no cover
             print(f"# bench_{name} failed: {e}", file=sys.stderr)
 

@@ -77,6 +77,25 @@ class LoopConfig(NamedTuple):
     # corrections too and the circuit ATE got worse, 12 → 22 m). 0 disables.
     degen_move_limit: float = 2.0
 
+    @classmethod
+    def reference_exact(cls, **overrides):
+        """Every documented divergence restored to the reference spec
+        (PARITY.md 'Divergence audit'): radius 35 m / 30 s gap
+        (`config.yaml:11-12`), untrimmed point-to-point PCL ICP accepted on
+        `fitness < 1.5` alone (`loop_closure.cpp:69-92`), isotropic
+        `fitness·I₆` factor noise (`fast_lio_sam.cpp:710`), no
+        correspondence floor, no slide rejection. Framework-only budgets
+        (submap_points, nn_chunk) keep their defaults or ``overrides``."""
+        base = dict(
+            radius=35.0, time_gap=30.0, num_submap_keyframes=5,
+            voxel_res=0.3, icp_score_threshold=1.5, max_iterations=50,
+            convergence_eps=0.01, max_corr_factor=1.5, trim_fraction=1.0,
+            min_correspondences=0, icp_method="point", aniso_noise=False,
+            degen_move_limit=0.0,
+        )
+        base.update(overrides)
+        return cls(**base)
+
 
 def build_submap(
     kf_clouds,  # (K, P, 3) keyframe clouds in *body* frame (PosePcd analog)

@@ -101,6 +101,24 @@ class EngineConfig(NamedTuple):
     # for the cadence-fidelity measurement (VERDICT r2 #7).
     solve_per_keyframe: bool = False
 
+    @classmethod
+    def reference_exact(cls, **overrides):
+        """Every documented engine-level divergence restored to the
+        reference spec (PARITY.md 'Divergence audit'): first-fix ENU
+        anchoring (`fast_lio_sam.cpp:156-159`), the 1.0 m GPS noise floor
+        (`:252`), 5 m GPS factor spacing (`config.yaml:29`), per-keyframe
+        iSAM2-cadence solves (`fast_lio_sam.cpp:494-513`), and the
+        keyframe threshold 0 of the shipped `config.yaml:7` (every moving
+        frame a keyframe). Pair with ``LoopConfig.reference_exact()`` and
+        a ``PoseGraphConfig`` with both Huber deltas 0 (the defaults)."""
+        base = dict(
+            keyframe_threshold=0.0, gps_anchor_warmup=1,
+            gps_noise_floor=1.0, gps_dist_thres=5.0,
+            solve_per_keyframe=True,
+        )
+        base.update(overrides)
+        return cls(**base)
+
 
 class GpsFix(NamedTuple):
     stamp: float

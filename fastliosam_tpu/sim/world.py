@@ -132,7 +132,7 @@ class PlaneWorld:
 
     @staticmethod
     def city(a=60.0, b=60.0, street_w=12.0, wall_h=8.0, n_clutter=24,
-             seed=0) -> "PlaneWorld":
+             seed=0, rich=False) -> "PlaneWorld":
         """Urban canyon: a rectangular street circuit (centerline half-
         extents ``a`` × ``b``) between an inner city block and outer
         buildings. Three streets carry clutter (parked-car boxes) and gappy
@@ -140,7 +140,13 @@ class PlaneWorld:
         canyon — both walls flat and parallel — so it is translation-
         degenerate along y while mid-street (corners out of range). Pairs
         with :meth:`Trajectory.circuit` for the long-run KITTI-format eval
-        (VERDICT r2 #6: multi-loop, corridor segment, yaw-rate spikes)."""
+        (VERDICT r2 #6: multi-loop, corridor segment, yaw-rate spikes).
+
+        ``rich=True`` removes the self-similarity: the +x street gets the
+        same gappy discrete facades as the other three and clutter lands on
+        all four streets — the feature-rich variant where loop ICP is well-
+        conditioned everywhere (the oracle world for validating the
+        reference-spec 35 m loop radius, VERDICT r4 #4b)."""
         rng = np.random.default_rng(seed)
         C, U, V = [], [], []
 
@@ -165,8 +171,9 @@ class PlaneWorld:
         # inner block: 4 walls + roof
         box(0.0, 0.0, ia, ib, wall_h)
         oa, ob = a + hw, b + hw
-        # outer facade, +x street: one solid featureless wall (the canyon)
-        rect([oa, 0, wall_h / 2], [0, -ob, 0], [0, 0, wall_h / 2])
+        if not rich:
+            # outer facade, +x street: one solid featureless wall (canyon)
+            rect([oa, 0, wall_h / 2], [0, -ob, 0], [0, 0, wall_h / 2])
         # outer facades elsewhere: discrete buildings with gaps (texture)
         n_seg = 6
         for s_ in range(n_seg):
@@ -184,9 +191,13 @@ class PlaneWorld:
             # -y street
             rect([(mid * 2 - 1) * oa, -ob, h / 2], [half * 2 * oa, 0, 0],
                  [0, 0, h / 2])
-        # clutter (parked cars) on the three textured streets only
+            if rich:  # +x street facades (rich variant only)
+                h2 = float(rng.uniform(5.0, 12.0))
+                rect([oa, (mid * 2 - 1) * ob, h2 / 2],
+                     [0, -half * 2 * ob, 0], [0, 0, h2 / 2])
+        # clutter (parked cars) on the textured streets (all four if rich)
         for _ in range(n_clutter):
-            street = rng.integers(0, 3)
+            street = rng.integers(0, 4 if rich else 3)
             along = rng.uniform(-0.8, 0.8)
             side = rng.choice([-1.0, 1.0])
             lat = side * (hw - 1.5)
@@ -194,8 +205,10 @@ class PlaneWorld:
                 cx, cy = -a - lat, along * ib
             elif street == 1:  # +y street
                 cx, cy = along * ia, b + lat
-            else:  # -y street
+            elif street == 2:  # -y street
                 cx, cy = along * ia, -b - lat
+            else:  # +x street (rich only)
+                cx, cy = a + lat, along * ib
             box(cx, cy, float(rng.uniform(0.8, 1.2)),
                 float(rng.uniform(1.8, 2.4)), float(rng.uniform(1.2, 1.8)))
         return PlaneWorld(

@@ -23,13 +23,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def generate(out_root, seq="00", n_scans=1160, n_azimuth=2048, n_elev=16,
-             max_range=50.0, seed=0, progress=True):
+             max_range=50.0, seed=0, progress=True, rich=False):
     from fastliosam_tpu.sim import (
         PlaneWorld, SimConfig, Trajectory, simulate_sequence,
     )
 
     world = PlaneWorld.city(a=60.0, b=60.0, street_w=12.0, wall_h=8.0,
-                            n_clutter=24, seed=seed)
+                            n_clutter=48 if rich else 24, seed=seed,
+                            rich=rich)
     # start from rest on the textured bottom street (real KITTI drives
     # start from rest; the featureless +x canyon is entered mid-run at
     # speed, once the LiDAR-only filter has locked its velocity)
@@ -90,9 +91,11 @@ def main():
     ap.add_argument("--n-azimuth", type=int, default=2048)
     ap.add_argument("--max-range", type=float, default=50.0)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--rich", action="store_true",
+                    help="feature-rich world (no featureless canyon)")
     a = ap.parse_args()
     generate(a.out, a.seq, a.n_scans, a.n_azimuth, max_range=a.max_range,
-             seed=a.seed)
+             seed=a.seed, rich=a.rich)
     print(f"wrote {a.out}")
 
 
