@@ -23,6 +23,104 @@ _PCD_TO_NP = {
 _NP_TO_PCD = {v: k for k, v in _PCD_TO_NP.items()}
 
 
+# ---------------------------------------------------------------------------
+# LZF block codec (libLZF stream format) — what PCL's binary_compressed PCD
+# bodies use (`pcl/io/lzf.cpp`). Pure Python: runs process whole literal
+# runs / back-references per iteration, so throughput is fine for map-sized
+# files and there is no native dependency.
+# ---------------------------------------------------------------------------
+
+
+def lzf_decompress(data: bytes, expected_size: int) -> bytes:
+    """Decompress a libLZF stream. Raises ValueError on malformed input."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        ctrl = data[i]
+        i += 1
+        if ctrl < 32:  # literal run of ctrl+1 bytes
+            run = ctrl + 1
+            if i + run > n:
+                raise ValueError("lzf: truncated literal run")
+            out += data[i : i + run]
+            i += run
+        else:  # back-reference
+            length = ctrl >> 5
+            if length == 7:
+                if i >= n:
+                    raise ValueError("lzf: truncated length byte")
+                length += data[i]
+                i += 1
+            if i >= n:
+                raise ValueError("lzf: truncated offset byte")
+            ref = len(out) - ((ctrl & 0x1F) << 8) - data[i] - 1
+            i += 1
+            if ref < 0:
+                raise ValueError("lzf: back-reference before start")
+            # overlapping copies are defined byte-serially (RLE-style)
+            for _ in range(length + 2):
+                out.append(out[ref])
+                ref += 1
+    if len(out) != expected_size:
+        raise ValueError(
+            f"lzf: expected {expected_size} bytes, got {len(out)}"
+        )
+    return bytes(out)
+
+
+def lzf_compress(data: bytes) -> bytes:
+    """Compress with the libLZF scheme (3-byte hash chaining, back-refs up
+    to 264 long / 8192 back). Output decodes with any LZF decoder incl.
+    PCL's; on incompressible input it degrades to literal runs (~3%
+    overhead)."""
+    n = len(data)
+    out = bytearray()
+    htab: dict = {}
+    lit_start = 0  # start of the pending literal run
+    i = 0
+
+    def flush_literals(upto):
+        s = lit_start
+        while s < upto:
+            run = min(32, upto - s)
+            out.append(run - 1)
+            out.extend(data[s : s + run])
+            s += run
+
+    while i < n - 2:
+        key = data[i : i + 3]
+        ref = htab.get(key, -1)
+        htab[key] = i
+        off = i - ref - 1
+        if ref >= 0 and off < 8192:
+            # extend the match
+            maxlen = min(n - i, 264)
+            length = 3
+            while length < maxlen and data[ref + length] == data[i + length]:
+                length += 1
+            flush_literals(i)
+            lencode = length - 2
+            if lencode < 7:
+                out.append((lencode << 5) | (off >> 8))
+            else:
+                out.append((7 << 5) | (off >> 8))
+                out.append(lencode - 7)
+            out.append(off & 0xFF)
+            # seed the hash table through the match (sparse: every 2nd)
+            end = i + length
+            i += 1
+            while i < min(end, n - 2):
+                htab[data[i : i + 3]] = i
+                i += 2
+            i = end
+            lit_start = i
+        else:
+            i += 1
+    flush_literals(n)
+    return bytes(out)
+
+
 def read_pcd(path: str) -> np.ndarray:
     """Read a PCD file into a structured numpy array (one entry per field)."""
     with open(path, "rb") as f:
@@ -66,14 +164,33 @@ def read_pcd(path: str) -> np.ndarray:
                 col += c
             return out
         if mode == "binary_compressed":
-            import lzf  # pragma: no cover — not in this image
+            # PCL layout (`pcl/io/pcd_io.cpp`): u32 compressed_size,
+            # u32 uncompressed_size, LZF stream; the uncompressed body is
+            # FIELD-MAJOR (all x values, then all y values, ...), unlike
+            # DATA binary's point-major records.
+            import struct
 
-            raise NotImplementedError("binary_compressed PCD not supported")
+            csize, usize = struct.unpack("<II", f.read(8))
+            body = lzf_decompress(f.read(csize), usize)
+            out = np.zeros(n_pts, dtype=dtype)
+            off = 0
+            for name, t, s, c in zip(fields, types, sizes, counts):
+                nbytes = s * c * n_pts
+                col = np.frombuffer(
+                    body, dtype=_PCD_TO_NP[(t, s)],
+                    count=n_pts * c, offset=off,
+                )
+                out[name] = col.reshape(n_pts, c) if c > 1 else col
+                off += nbytes
+            return out
         raise ValueError(f"unknown PCD DATA mode: {mode}")
 
 
-def write_pcd(path: str, cloud: np.ndarray, binary: bool = True) -> None:
-    """Write a structured array (or plain (N,3) float array) as PCD."""
+def write_pcd(path: str, cloud: np.ndarray, binary: bool = True,
+              compressed: bool = False) -> None:
+    """Write a structured array (or plain (N,3) float array) as PCD.
+    ``compressed=True`` writes PCL's ``binary_compressed`` mode (LZF over
+    the field-major body)."""
     if cloud.dtype.names is None:
         arr = np.zeros(
             len(cloud), dtype=[("x", "f4"), ("y", "f4"), ("z", "f4")]
@@ -95,6 +212,10 @@ def write_pcd(path: str, cloud: np.ndarray, binary: bool = True) -> None:
         sizes.append(str(s))
         counts.append(str(c))
     n = len(cloud)
+    mode = (
+        "binary_compressed" if compressed
+        else ("binary" if binary else "ascii")
+    )
     header = (
         "# .PCD v0.7 - Point Cloud Data file format\n"
         "VERSION 0.7\n"
@@ -103,11 +224,20 @@ def write_pcd(path: str, cloud: np.ndarray, binary: bool = True) -> None:
         f"TYPE {' '.join(types)}\n"
         f"COUNT {' '.join(counts)}\n"
         f"WIDTH {n}\nHEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\nPOINTS {n}\n"
-        f"DATA {'binary' if binary else 'ascii'}\n"
+        f"DATA {mode}\n"
     )
     with open(path, "wb") as f:
         f.write(header.encode("ascii"))
-        if binary:
+        if compressed:
+            import struct
+
+            body = b"".join(
+                np.ascontiguousarray(cloud[name]).tobytes() for name in names
+            )
+            comp = lzf_compress(body)
+            f.write(struct.pack("<II", len(comp), len(body)))
+            f.write(comp)
+        elif binary:
             f.write(cloud.tobytes())
         else:
             cols = []

@@ -299,7 +299,9 @@ int fls_read_pcd_xyz(const char* path, float* out, int capacity) {
         } else if (starts("POINTS")) {
             n_pts = atoi(line + 7);
         } else if (starts("DATA")) {
-            binary = strstr(line, "binary") != nullptr;
+            // "binary_compressed" must NOT take the raw-binary fast path
+            binary = strstr(line, "binary") != nullptr &&
+                     strstr(line, "compressed") == nullptr;
             break;
         }
     }
