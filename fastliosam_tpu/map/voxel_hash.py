@@ -35,6 +35,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.eigh3 import smallest_eigvec3
 
@@ -359,9 +360,12 @@ def query_planes(m: VoxelMap, cfg: VoxelMapConfig, xyz, mask):
     return normal, d, valid
 
 
-_STENCIL7 = jnp.array(
+# numpy (NOT jnp): a module-level device array would initialize the XLA
+# backend at import time, which breaks jax.distributed.initialize() for
+# any multi-host program importing this package first
+_STENCIL7 = np.array(
     [[0, 0, 0], [1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]],
-    dtype=jnp.int32,
+    dtype=np.int32,
 )
 
 

@@ -257,7 +257,8 @@ class SlamEngine:
         # loop dedup: highest keyframe index already loop-attempted (the
         # reference's per-keyframe processed_ flag, fast_lio_sam.cpp:684-689)
         self._loop_processed_kf = 0
-        self._pending_loop = None
+        # in-flight (async) loop verifications, FIFO
+        self._pending_loops: list = []
         # in-flight chunk handles for the deferred (pipelined) chunk path
         self._pending_chunks: list = []
         # host-side factor counters (adds happen inside jit, so overflow
@@ -416,38 +417,40 @@ class SlamEngine:
                 kf_n = kf_n + is_kf.astype(jnp.int32)
                 last_raw = jnp.where(is_kf, raw_T, last_raw)
                 last_corr = jnp.where(is_kf, corrected, last_corr)
+                # fused PER-SCAN loop-candidate detection: a masked argmin
+                # over ≤max_keyframes rows is trivial beside the iEKF, and
+                # carrying (cand, found) for every scan decouples the loop
+                # cadence from the chunk size — the host can honor the
+                # reference's 2 Hz cadence (loop_check_every) at ANY chunk
+                # size instead of only at chunk boundaries (positions are
+                # pre-solve, like the reference's loop thread reading
+                # whatever poses are current)
+                cand, found = fetch_closest_keyframe_idx(
+                    se3.trans(graph.poses), kstamps, graph.kf_valid,
+                    jnp.maximum(kf_n - 1, 0),
+                    self.loop_cfg.radius, self.loop_cfg.time_gap,
+                )
                 carry = (odom, graph, clouds, masks, rposes, kstamps, kf_n,
                          last_raw, last_corr)
-                out = (raw_T, corrected, is_kf, aux["n_matched"])
+                out = (raw_T, corrected, is_kf, aux["n_matched"],
+                       cand, found)
                 return carry, out
 
             carry0 = (odom, graph, kf_clouds, kf_masks, kf_raw_poses,
                       kf_stamps, kf_n, last_raw, last_corr)
             carry, outs = jax.lax.scan(step, carry0, (scans, imus, stamps))
-            # fused loop-candidate detection at the chunk boundary — comes
-            # back with the chunk readback, so the loop cadence costs no
-            # extra dispatch (positions are pre-solve, like the reference's
-            # loop thread reading whatever poses are current)
-            graph_f, kstamps_f, kf_n_f = carry[1], carry[5], carry[6]
-            cand, found = fetch_closest_keyframe_idx(
-                se3.trans(graph_f.poses), kstamps_f, graph_f.kf_valid,
-                jnp.maximum(kf_n_f - 1, 0),
-                self.loop_cfg.radius, self.loop_cfg.time_gap,
-            )
             # ALL host-facing outputs packed into ONE flat array: on a
             # remote-attached device every independent device->host fetch is
             # a full relay round trip (~tens of ms), so the chunk returns a
             # single buffer the host reads once per chunk
-            raw_Ts, corr_Ts, is_kf, n_matched = outs
+            raw_Ts, corr_Ts, is_kf, n_matched, cands, founds = outs
             packed = jnp.concatenate([
                 raw_Ts.reshape(-1),
                 corr_Ts.reshape(-1),
                 is_kf.astype(jnp.float32),
                 n_matched.astype(jnp.float32),
-                jnp.stack([
-                    cand.astype(jnp.float32),
-                    found.astype(jnp.float32),
-                ]),
+                cands.astype(jnp.float32),
+                founds.astype(jnp.float32),
             ])
             return carry, packed
 
@@ -608,8 +611,8 @@ class SlamEngine:
         raw_np = flat[: 16 * S].reshape(S, 4, 4)
         corr_np = flat[16 * S: 32 * S].reshape(S, 4, 4)
         kf_np = flat[32 * S: 33 * S] > 0.5
-        cand = int(flat[-2])
-        found = flat[-1] > 0.5
+        cands = flat[34 * S: 35 * S].astype(np.int32)
+        founds = flat[35 * S: 36 * S] > 0.5
         new_kf = int(kf_np.sum())
         first_kf_idx = self.kf.n
         self.kf.n += new_kf
@@ -644,15 +647,24 @@ class SlamEngine:
 
         if self.cfg.solve_per_keyframe and new_kf > 0:
             self._needs_solve = True
-        # loop cadence + solve at the chunk boundary: the candidate came
-        # back fused with the chunk outputs; only the ICP verification (and
-        # only when a candidate exists) costs an extra (async) dispatch
+        # loop cadence: per-scan candidates came back fused with the chunk
+        # outputs, so the reference's 2 Hz cadence (loop_check_every) is
+        # honored at ANY chunk size — attempt at every cadence scan inside
+        # the chunk, dedup by the processed-flag; only the ICP
+        # verifications (and only when a candidate exists) cost extra
+        # (async) dispatches
         self._resolve_pending_loop()
-        k = self.kf.n
-        if k > 1 and k - 1 > self._loop_processed_kf:
-            self._loop_processed_kf = k - 1
-            if found:
-                self._launch_verify(k - 1, cand)
+        gidx0 = self.scan_count - S  # global index of this chunk's scan 0
+        kf_cum = np.cumsum(kf_np)
+        every = self.cfg.loop_check_every
+        for s in range(S):
+            if (gidx0 + s + 1) % every:
+                continue
+            k_s = first_kf_idx + int(kf_cum[s])
+            if k_s > 1 and k_s - 1 > self._loop_processed_kf:
+                self._loop_processed_kf = k_s - 1
+                if founds[s]:
+                    self._launch_verify(k_s - 1, int(cands[s]))
         if self._needs_solve:
             self._solve()
         return corr_np
@@ -783,21 +795,20 @@ class SlamEngine:
         )
         # async: don't force the result now; JAX dispatch lets the ICP run
         # (optionally on another device) while odometry continues
-        self._pending_loop = (query, cand, out)
+        self._pending_loops.append((query, cand, out))
 
     def _resolve_pending_loop(self):
-        pending = getattr(self, "_pending_loop", None)
-        if pending is None:
-            return
-        self._pending_loop = None
-        qi, ci, (rel, sqrt_info, accepted, fitness) = pending
-        if bool(accepted):
-            if self._n_bt_host >= self.pgo_cfg.max_between:
-                self._grow_between()
-            self._n_bt_host += 1
-            self.graph = add_between(self.graph, qi, ci, rel, sqrt_info)
-            self.loop_pairs.append((qi, ci))
-            self._needs_solve = True
+        while self._pending_loops:
+            qi, ci, (rel, sqrt_info, accepted, fitness) = (
+                self._pending_loops.pop(0)
+            )
+            if bool(accepted):
+                if self._n_bt_host >= self.pgo_cfg.max_between:
+                    self._grow_between()
+                self._n_bt_host += 1
+                self.graph = add_between(self.graph, qi, ci, rel, sqrt_info)
+                self.loop_pairs.append((qi, ci))
+                self._needs_solve = True
 
     # ------------------------------------------------------------------
     def _solve(self):

@@ -7,7 +7,15 @@ import jax.numpy as jnp
 from fastliosam_tpu.core import se3
 from fastliosam_tpu.parallel import make_mesh, shard_leading, sharded_gram, solve_sharded
 from fastliosam_tpu.pgo import PoseGraphConfig, add_between, add_gps, solve
-from tests.test_pgo import CFG, build_noisy_chain, circle_poses, pose_errors
+from tests.test_pgo import build_noisy_chain, circle_poses, pose_errors
+
+# smaller than test_pgo's CFG: on the 8-virtual-device CPU mesh every PCG
+# iteration is 8 thread-level psums on a 2-core box, so iteration counts
+# dominate the suite's wall time; equivalence holds at any count as long
+# as BOTH sides use the same cfg
+SH_CFG = PoseGraphConfig(
+    max_keyframes=64, max_between=128, max_gps=32, lm_iters=5, pcg_iters=48
+)
 
 
 def test_mesh_has_8_devices():
@@ -26,9 +34,9 @@ def test_sharded_solve_matches_single_device(rng):
         g = add_gps(
             g, k, se3.trans(gt[k]), jnp.full((3,), 10.0, jnp.float32)
         )
-    g_ref, cost_ref = solve(g, CFG, prior_pose=g.poses[0])
+    g_ref, cost_ref = solve(g, SH_CFG, prior_pose=g.poses[0])
     mesh = make_mesh(8)
-    g_sh, cost_sh = solve_sharded(g, CFG, mesh)
+    g_sh, cost_sh = solve_sharded(g, SH_CFG, mesh)
     assert abs(float(cost_sh) - float(cost_ref)) < 1e-2 * max(1.0, float(cost_ref))
     err = np.abs(np.asarray(g_sh.poses) - np.asarray(g_ref.poses)).max()
     assert err < 5e-3, err
@@ -37,7 +45,7 @@ def test_sharded_solve_matches_single_device(rng):
 def test_sharded_solve_corrects_drift(rng):
     gt = circle_poses(32)
     cfg = PoseGraphConfig(max_keyframes=64, max_between=128, max_gps=32,
-                          lm_iters=10, pcg_iters=96)
+                          lm_iters=6, pcg_iters=64)
     g = build_noisy_chain(gt, rng, odom_noise=0.05, rot_noise=0.01)
     rel = se3.between(gt[-1], gt[0])
     g = add_between(
