@@ -860,6 +860,7 @@ def _make_longrun_engine(loop_cfg=None):
         voxel_res=0.3, submap_points=16384,
     )
     engine._build_programs()
+    engine.reset()  # re-create stores/graph at the NEW capacities
     return engine
 
 

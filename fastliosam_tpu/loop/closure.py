@@ -76,6 +76,30 @@ class LoopConfig(NamedTuple):
     # make that distinction (measured: loop_huber capped the CORRECT far
     # corrections too and the circuit ATE got worse, 12 → 22 m). 0 disables.
     degen_move_limit: float = 2.0
+    # multi-start ICP: ICP's basin of attraction on street-like geometry
+    # is narrower than the drift at loop time (measured on the circuit
+    # worlds: candidates sit 6-17 m off and single-start ICP converges
+    # into a lattice-slid local minimum that still scores fitness < 1.5).
+    # With M > 1 the verifier batches a COARSE ICP (multistart_iters) over
+    # M initial translations spaced multistart_step apart along the
+    # destination submap's weakest normal-coverage direction — slides
+    # live exactly along that axis — then refines the best-fitness winner
+    # with the full budget. vmapped: the M starts run as one batched
+    # program (TPU-friendly), ~2x the single-start cost at M=5.
+    # 1 = reference-exact single start.
+    icp_multistart: int = 1
+    multistart_step: float = 4.0
+    multistart_iters: int = 12
+    # cap on the fitness-based sqrt information (1/m): PCL fitness is mean
+    # squared NN distance, which measures how well SURFACES overlap, not
+    # how well the transform is constrained — on self-similar geometry a
+    # slid alignment scores fitness ~0.01 and the reference's
+    # 1/sqrt(fitness) noise then claims ~10 cm loop accuracy while the
+    # actual transform error is metres (r5 oracle: per-loop error 2-6 m,
+    # perfect-loop floor 0.85 m vs 7.35 m achieved — the gap IS
+    # overconfident loop info). A cap of 1.0 = "no loop claims better
+    # than 1 m sigma"; 0 disables (reference-exact).
+    max_sqrt_info: float = 0.0
 
     @classmethod
     def reference_exact(cls, **overrides):
@@ -155,9 +179,18 @@ def verify_loop(
     )
     # surfel map of the destination submap: per-point normals for
     # point-to-plane ICP + the normal-coverage Gram for anisotropic noise
-    need_surfels = cfg.icp_method == "p2pl" or cfg.aniso_noise
+    # + the weak-direction for the multi-start search
+    multistart = cfg.icp_multistart > 1 and icp_fn is None
+    need_surfels = (
+        cfg.icp_method == "p2pl" or cfg.aniso_noise or multistart
+    )
     if need_surfels:
         dst_map, dst_map_cfg = _dst_surfel_map(dst, dst_mask, cfg)
+    init_T = jnp.eye(4, dtype=jnp.float32)
+    if multistart:
+        init_T = _multistart_init(
+            src, src_mask, dst, dst_mask, dst_map, cfg
+        )
     if icp_fn is not None:
         icp_tf, fitness, n_corr = icp_fn(src, src_mask, dst, dst_mask)
     elif cfg.icp_method == "p2pl":
@@ -173,6 +206,7 @@ def verify_loop(
             dst_mask,
             nrm_pts,
             nvalid,
+            init_T=init_T,
             max_iterations=cfg.max_iterations,
             max_corr_dist=cfg.radius * cfg.max_corr_factor,
             nn_chunk=cfg.nn_chunk,
@@ -185,6 +219,7 @@ def verify_loop(
             src_mask,
             dst,
             dst_mask,
+            init_T=init_T,
             max_iterations=cfg.max_iterations,
             max_corr_dist=cfg.radius * cfg.max_corr_factor,
             nn_chunk=cfg.nn_chunk,
@@ -198,9 +233,16 @@ def verify_loop(
     T_c = poses[cand_idx]
     pose_from = se3.compose(icp_tf, T_q)  # fast_lio_sam.cpp:703 ordering
     rel = se3.between(pose_from, T_c)
-    sqrt_info = jnp.full(
-        (6,), 1.0 / jnp.sqrt(jnp.maximum(fitness, 1e-4)), jnp.float32
-    )
+    base_info = 1.0 / jnp.sqrt(jnp.maximum(fitness, 1e-4))
+    if cfg.max_sqrt_info > 0.0:
+        # translation only: ICP slides are translational; rotation is
+        # well-constrained whenever the alignment is accepted at all
+        t_info = jnp.minimum(base_info, cfg.max_sqrt_info)
+        sqrt_info = jnp.concatenate(
+            [jnp.full((3,), t_info), jnp.full((3,), base_info)]
+        ).astype(jnp.float32)
+    else:
+        sqrt_info = jnp.full((6,), base_info, jnp.float32)
     if cfg.aniso_noise:
         R_c = se3.rot(T_c)
         scale_t = _aniso_translation_scales_from_map(dst_map, R_c, cfg)
@@ -235,6 +277,48 @@ def verify_loop(
             )
             accepted = accepted & ~slid
     return rel, sqrt_info, accepted, fitness
+
+
+def _multistart_init(src, src_mask, dst, dst_mask, dst_map,
+                     cfg: LoopConfig):
+    """Coarse multi-start search (see ``LoopConfig.icp_multistart``):
+    run a short ICP from M initial translations spaced along the
+    destination submap's weakest normal-coverage direction (the axis
+    slides live on) and return the best-fitness coarse transform as the
+    refinement seed. The M starts are one vmapped program."""
+    import jax
+
+    from ..core.eigh3 import eigh3
+
+    w = dst_map.plane_valid.astype(jnp.float32)
+    Gw = (dst_map.normal * w[:, None]).T @ dst_map.normal
+    lam, V = eigh3(0.5 * (Gw + Gw.T))
+    axis = V[:, jnp.argmin(lam)]
+    # slides are horizontal (vehicle motion): project out z, normalize
+    axis = axis.at[2].set(0.0)
+    axis = axis / jnp.maximum(jnp.linalg.norm(axis), 1e-6)
+    M = cfg.icp_multistart
+    offs = (jnp.arange(M, dtype=jnp.float32) - (M - 1) / 2.0) * \
+        cfg.multistart_step
+    inits = jnp.broadcast_to(
+        jnp.eye(4, dtype=jnp.float32), (M, 4, 4)
+    ).at[:, :3, 3].set(offs[:, None] * axis[None, :])
+
+    def coarse(T0):
+        return icp_align(
+            src, src_mask, dst, dst_mask, init_T=T0,
+            max_iterations=cfg.multistart_iters,
+            max_corr_dist=cfg.radius * cfg.max_corr_factor,
+            nn_chunk=cfg.nn_chunk,
+            trim_fraction=cfg.trim_fraction,
+            convergence_eps=cfg.convergence_eps,
+        )
+
+    # lax.map, not vmap: the MXU brute-force NN already saturates the chip
+    # per start (batching M would not speed it up), and the Pallas NN
+    # kernel needs no batching rule this way
+    Ts, fits, _ = jax.lax.map(coarse, inits)
+    return Ts[jnp.argmin(fits)]
 
 
 def _dst_surfel_map(dst, dst_mask, cfg: LoopConfig):

@@ -226,6 +226,13 @@ class SlamEngine:
         self.last_kf_corrected = np.eye(4, dtype=np.float32)
         self.scan_count = 0
         self.loop_pairs: list[tuple[int, int]] = []
+        # accepted loop measurements (4,4 numpy rels) + fitness, parallel
+        # to loop_pairs — diagnostics for per-loop transform-error audits
+        self.loop_rels: list[np.ndarray] = []
+        self.loop_fitness: list[float] = []
+        # EVERY verification attempt: (query, cand, fitness, accepted) —
+        # the rejected ones are what acceptance-threshold audits need
+        self.loop_attempts: list[tuple] = []
         self.raw_traj: list[np.ndarray] = []  # per-scan raw odometry poses
         self.realtime_traj: list[np.ndarray] = []  # per-scan corrected poses
         self.scan_stamps: list[float] = []
@@ -568,6 +575,14 @@ class SlamEngine:
         for fix in gps or []:
             self._on_gps(fix)
         S = scans.xyz.shape[0]
+        # invariant: mutating pgo_cfg without reset() leaves the device
+        # stores at the OLD capacity while the pre-grow arithmetic trusts
+        # the new one — on-device adds would then mask-no-op silently
+        assert self.graph.poses.shape[0] == self.pgo_cfg.max_keyframes, (
+            "pgo_cfg.max_keyframes changed without engine.reset(): graph "
+            f"capacity {self.graph.poses.shape[0]} != "
+            f"{self.pgo_cfg.max_keyframes}"
+        )
         # pre-grow so on-device adds can never hit the masked no-op
         # backstop; with chunks still in flight their (unresolved) keyframe
         # adds are bounded by their scan counts
@@ -802,12 +817,17 @@ class SlamEngine:
             qi, ci, (rel, sqrt_info, accepted, fitness) = (
                 self._pending_loops.pop(0)
             )
+            self.loop_attempts.append(
+                (qi, ci, float(fitness), bool(accepted))
+            )
             if bool(accepted):
                 if self._n_bt_host >= self.pgo_cfg.max_between:
                     self._grow_between()
                 self._n_bt_host += 1
                 self.graph = add_between(self.graph, qi, ci, rel, sqrt_info)
                 self.loop_pairs.append((qi, ci))
+                self.loop_rels.append(np.asarray(rel))
+                self.loop_fitness.append(float(fitness))
                 self._needs_solve = True
 
     # ------------------------------------------------------------------

@@ -182,18 +182,24 @@ class PlaneWorld:
             mid = (frac0 + frac1) / 2
             half = (frac1 - frac0) / 2
             h = float(rng.uniform(5.0, 12.0))
+            # rich: per-segment lateral setback breaks the translational
+            # self-similarity of a straight facade line — building fronts
+            # at varying depths make every street position geometrically
+            # unique, so loop ICP has a true global basin
+            sb = float(rng.uniform(0.0, 3.0)) if rich else 0.0
             # -x street
-            rect([-oa, (mid * 2 - 1) * ob, h / 2], [0, half * 2 * ob, 0],
-                 [0, 0, h / 2])
+            rect([-oa - sb, (mid * 2 - 1) * ob, h / 2],
+                 [0, half * 2 * ob, 0], [0, 0, h / 2])
             # +y street
-            rect([(mid * 2 - 1) * oa, ob, h / 2], [-half * 2 * oa, 0, 0],
-                 [0, 0, h / 2])
+            rect([(mid * 2 - 1) * oa, ob + sb, h / 2],
+                 [-half * 2 * oa, 0, 0], [0, 0, h / 2])
             # -y street
-            rect([(mid * 2 - 1) * oa, -ob, h / 2], [half * 2 * oa, 0, 0],
-                 [0, 0, h / 2])
+            rect([(mid * 2 - 1) * oa, -ob - sb, h / 2],
+                 [half * 2 * oa, 0, 0], [0, 0, h / 2])
             if rich:  # +x street facades (rich variant only)
                 h2 = float(rng.uniform(5.0, 12.0))
-                rect([oa, (mid * 2 - 1) * ob, h2 / 2],
+                sb2 = float(rng.uniform(0.0, 3.0))
+                rect([oa + sb2, (mid * 2 - 1) * ob, h2 / 2],
                      [0, -half * 2 * ob, 0], [0, 0, h2 / 2])
         # clutter (parked cars) on the textured streets (all four if rich)
         for _ in range(n_clutter):

@@ -29,7 +29,7 @@ def generate(out_root, seq="00", n_scans=1160, n_azimuth=2048, n_elev=16,
     )
 
     world = PlaneWorld.city(a=60.0, b=60.0, street_w=12.0, wall_h=8.0,
-                            n_clutter=48 if rich else 24, seed=seed,
+                            n_clutter=96 if rich else 24, seed=seed,
                             rich=rich)
     # start from rest on the textured bottom street (real KITTI drives
     # start from rest; the featureless +x canyon is entered mid-run at

@@ -213,3 +213,69 @@ def test_icp_p2pl_converges_on_structured_scene(rng):
     err = np.asarray(se3.log(se3.compose(se3.inverse(T_true), T)))
     assert np.abs(err).max() < 0.05, err
     assert int(n_corr) > 2000
+
+
+def test_multistart_widens_icp_basin(rng):
+    """Multi-start verification (LoopConfig.icp_multistart): on a scene
+    whose structure repeats along one axis, single-start ICP from a
+    drift-scale initial offset locks into a lattice-slid local minimum;
+    the multi-start coarse search along the weak-coverage axis must find
+    the true basin (fitness no worse than single-start, correction close
+    to the injected drift)."""
+    import jax.numpy as jnp
+
+    from fastliosam_tpu.core import se3
+    from fastliosam_tpu.loop.closure import LoopConfig, verify_loop
+
+    # canyon scene: two walls perpendicular to y + ground, with sparse
+    # REPEATING x-facing features every 6 m + one unique wide anchor
+    pts = []
+    xs = rng.uniform(-18, 18, size=1500)
+    for ywall in (-5.0, 5.0):
+        pts.append(np.stack([xs, np.full_like(xs, ywall),
+                             rng.uniform(0, 4, size=len(xs))], 1))
+    gx = rng.uniform(-18, 18, size=1200)
+    pts.append(np.stack([gx, rng.uniform(-5, 5, size=len(gx)),
+                         np.zeros_like(gx)], 1))
+    for k in range(-3, 4):  # repeating lattice features (period 6 m)
+        yy = rng.uniform(-5, -4, size=80)
+        pts.append(np.stack([np.full_like(yy, 6.0 * k),
+                             yy, rng.uniform(0, 2, size=len(yy))], 1))
+    # unique anchor: a wide block face at x=8.7 (breaks the lattice)
+    yy = rng.uniform(2, 5, size=300)
+    pts.append(np.stack([np.full_like(yy, 8.7), yy,
+                         rng.uniform(0, 3.5, size=len(yy))], 1))
+    scene = np.concatenate(pts).astype(np.float32)
+
+    P = 4096
+    n_kf = 2
+    clouds = np.zeros((n_kf, P, 3), np.float32)
+    masks = np.ones((n_kf, P), bool)
+    sel = rng.permutation(len(scene))[:P]
+    clouds[0] = scene[sel]
+    clouds[1] = scene[rng.permutation(len(scene))[:P]]
+    # keyframe 1 truly sits at the same place as keyframe 0, but its
+    # estimated pose carries 7 m of along-canyon drift (not a multiple of
+    # the 6 m lattice period)
+    # (clouds[1] is already the body-frame view from the TRUE pose —
+    # identity — so the estimated pose shifts its world placement by 7 m)
+    poses = np.broadcast_to(np.eye(4, dtype=np.float32),
+                            (n_kf, 4, 4)).copy()
+    poses[1, 0, 3] = 7.0
+
+    base = dict(num_submap_keyframes=0, voxel_res=0.2, submap_points=4096,
+                max_iterations=40, nn_chunk=512, radius=10.0,
+                trim_fraction=0.8, icp_score_threshold=1.5)
+    cfg1 = LoopConfig(**base)
+    cfg5 = LoopConfig(**base, icp_multistart=5, multistart_step=3.5,
+                      multistart_iters=10)
+    args = (jnp.asarray(clouds), jnp.asarray(masks), jnp.asarray(poses),
+            jnp.ones((n_kf,), bool), 1, 0)
+    rel1, _, acc1, fit1 = verify_loop(*args, cfg1)
+    rel5, _, acc5, fit5 = verify_loop(*args, cfg5)
+    assert float(fit5) <= float(fit1) + 1e-4
+    # the multistart correction recovers the 7 m drift: applying the
+    # factor puts keyframe 1 back at the true pose (identity translation)
+    T_corr = se3.compose(jnp.asarray(poses[0]), se3.inverse(rel5))
+    err5 = float(np.linalg.norm(np.asarray(se3.trans(T_corr))))
+    assert err5 < 1.0, err5
