@@ -100,7 +100,7 @@ def solve_sharded(g: PoseGraph, cfg: PoseGraphConfig, mesh: Mesh, axis: str = "k
     ):
         """Runs identically on every device over its factor shard."""
 
-        def shard_graph(p):
+        def shard_graph(p, bt_si=None):
             return PoseGraph(
                 poses=p,
                 kf_valid=kf_valid,
@@ -108,7 +108,7 @@ def solve_sharded(g: PoseGraph, cfg: PoseGraphConfig, mesh: Mesh, axis: str = "k
                 bt_i=bt_i,
                 bt_j=bt_j,
                 bt_rel=bt_rel,
-                bt_sqrt_info=bt_sqrt_info,
+                bt_sqrt_info=bt_sqrt_info if bt_si is None else bt_si,
                 bt_valid=bt_valid,
                 n_bt=jnp.sum(bt_valid.astype(jnp.int32)),
                 gps_idx=gps_idx,
@@ -118,8 +118,26 @@ def solve_sharded(g: PoseGraph, cfg: PoseGraphConfig, mesh: Mesh, axis: str = "k
                 n_gps=jnp.sum(gps_valid.astype(jnp.int32)),
             )
 
-        def cost_of(p):
-            gg = shard_graph(p)
+        # GNC on loop factors (PoseGraphConfig.loop_gnc_barc): weights are
+        # per-factor and factor-sharded, so each shard computes its own;
+        # only the mu_0 initialization needs a collective (pmax below)
+        use_gnc = cfg.loop_gnc_barc > 0.0
+        is_loop = (jnp.abs(bt_i - bt_j) > 1) & bt_valid
+
+        def loop_resid2(p):
+            rb, _, _ = _between_residuals(shard_graph(p))
+            return jnp.sum(rb * rb, axis=-1)
+
+        def gnc_bt_si(p, mu):
+            if not use_gnc:
+                return None
+            c2 = jnp.float32(cfg.loop_gnc_barc ** 2)
+            w = (mu * c2 / (loop_resid2(p) + mu * c2)) ** 2
+            sw = jnp.sqrt(jnp.where(is_loop, w, 1.0))
+            return bt_sqrt_info * sw[:, None]
+
+        def cost_of(p, bt_si=None):
+            gg = shard_graph(p, bt_si)
             rb, _, _ = _between_residuals(gg)
             rg, _ = _gps_residuals(gg)
             local = 0.5 * (jnp.sum(rb * rb) + jnp.sum(rg * rg))
@@ -127,8 +145,8 @@ def solve_sharded(g: PoseGraph, cfg: PoseGraphConfig, mesh: Mesh, axis: str = "k
             rp, _ = _prior_residual(gg, cfg, prior_pose)
             return total + 0.5 * jnp.sum(rp * rp)
 
-        def linearize(p):
-            gg = shard_graph(p)
+        def linearize(p, bt_si=None):
+            gg = shard_graph(p, bt_si)
             rb, Ji, Jj = _between_residuals(gg)
             rg, Jg = _gps_residuals(gg)
             rp, Jp = _prior_residual(gg, cfg, prior_pose)
@@ -196,31 +214,63 @@ def solve_sharded(g: PoseGraph, cfg: PoseGraphConfig, mesh: Mesh, axis: str = "k
 
         kf_mask = kf_valid[:, None].astype(jnp.float32)
 
-        def lm_iter(carry, _):
-            poses, lam, cost = carry
-            b, Hd, matvec = linearize(poses)
-            dx = pcg(matvec, b, Hd, lam) * kf_mask
-            cand = se3.retract(poses, dx)
-            cand = jnp.where(kf_valid[:, None, None], cand, poses)
-            new_cost = cost_of(cand)
-            accept = new_cost < cost
-            poses = jnp.where(accept, cand, poses)
-            cost = jnp.where(accept, new_cost, cost)
-            lam = jnp.clip(
-                jnp.where(accept, lam * cfg.lambda_down, lam * cfg.lambda_up),
-                1e-9,
-                1e6,
-            )
-            return (poses, lam, cost), None
+        def lm_scan(poses0, bt_si):
+            """Full LM loop under FIXED (possibly GNC-scaled) weights —
+            mirrors pgo.solver.solve's inner loop."""
 
-        cost0 = cost_of(poses)
-        (poses, _, cost), _ = jax.lax.scan(
-            lm_iter,
-            (poses, jnp.float32(cfg.lambda_init), cost0),
-            None,
-            length=cfg.lm_iters,
+            def lm_iter(carry, _):
+                poses, lam, cost = carry
+                b, Hd, matvec = linearize(poses, bt_si)
+                dx = pcg(matvec, b, Hd, lam) * kf_mask
+                cand = se3.retract(poses, dx)
+                cand = jnp.where(kf_valid[:, None, None], cand, poses)
+                new_cost = cost_of(cand, bt_si)
+                accept = new_cost < cost
+                poses = jnp.where(accept, cand, poses)
+                cost = jnp.where(accept, new_cost, cost)
+                lam = jnp.clip(
+                    jnp.where(accept, lam * cfg.lambda_down,
+                              lam * cfg.lambda_up),
+                    1e-9,
+                    1e6,
+                )
+                return (poses, lam, cost), None
+
+            cost0 = cost_of(poses0, bt_si)
+            (p, _, cost), _ = jax.lax.scan(
+                lm_iter,
+                (poses0, jnp.float32(cfg.lambda_init), cost0),
+                None,
+                length=cfg.lm_iters,
+            )
+            return p, cost
+
+        if not use_gnc:
+            return lm_scan(poses, None)
+
+        r2max = jax.lax.pmax(
+            jnp.max(jnp.where(is_loop, loop_resid2(poses), 0.0)), axis
         )
-        return poses, cost
+        mu0 = jnp.maximum(
+            2.0 * r2max / jnp.float32(cfg.loop_gnc_barc ** 2), 1.0
+        )
+        if cfg.gnc_div > 0.0:
+            gnc_div = jnp.float32(cfg.gnc_div)
+        else:  # auto (see pgo.solver.solve)
+            gnc_div = jnp.exp(
+                jnp.log(mu0) / jnp.float32(max(cfg.gnc_stages - 1, 1))
+            )
+
+        def gnc_stage(carry, _):
+            p, mu = carry
+            p, cost = lm_scan(p, gnc_bt_si(p, mu))
+            mu = jnp.maximum(mu / gnc_div, 1.0)
+            return (p, mu), cost
+
+        (poses, _), costs = jax.lax.scan(
+            gnc_stage, (poses, mu0), None, length=cfg.gnc_stages
+        )
+        return poses, costs[-1]
 
     poses, cost = lm_solve(
         gp.poses,

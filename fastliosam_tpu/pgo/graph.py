@@ -62,6 +62,34 @@ class PoseGraphConfig(NamedTuple):
     # at full strength (the reference's behavior, fast_lio_sam.cpp:710).
     # 0 disables (= reference fidelity).
     loop_huber_delta: float = 0.0
+    # graduated non-convexity (GNC, Geman-McClure) on loop-closure factors
+    # — the principled answer to CONFIDENTLY-WRONG loops, which Huber
+    # cannot give (Huber down-weights by residual size, so it also caps
+    # the correct far corrections; measured on the canyon circuit:
+    # loop_huber made ATE worse, 12 -> 22 m). GNC instead asks whether a
+    # factor is CONSISTENT with the rest of the graph: the surrogate
+    # starts convex (mu large: every loop fully weighted, the solve finds
+    # the consensus trajectory) and anneals toward Geman-McClure (mu -> 1:
+    # factors whose whitened residual exceeds ~barc sigmas at the
+    # consensus get weight -> 0). Mutually consistent correct loops
+    # reinforce and survive; wrong slides disagree with the consensus and
+    # are annealed out. Value = the GM scale c-bar in whitened-sigma
+    # units; 0 disables (= reference fidelity: plain L2 loop factors).
+    # Per LM iteration: w_f = (mu*c^2 / (r_w^2 + mu*c^2))^2 on loop
+    # (|i-j| > 1) factors, mu_0 = max(1, 2*max r_w^2 / c^2) annealed by
+    # /gnc_div each iteration to a floor of 1 (Yang et al. 2020, GNC).
+    # Use lm_iters >= ~10 so the anneal completes.
+    loop_gnc_barc: float = 0.0
+    # number of GNC anneal stages; each runs a FULL lm_iters LM solve
+    # under weights frozen at the previous stage's converged poses (the
+    # total work with GNC on is gnc_stages * lm_iters LM iterations)
+    gnc_stages: int = 6
+    # mu anneal divisor per stage. 0 (default) = auto: computed per solve
+    # as mu_0^(1/(gnc_stages-1)) so the anneal REACHES mu = 1 at the last
+    # stage regardless of how large the worst initial residual made mu_0
+    # (a fixed 1.4 never gets there when a confident slide puts mu_0 in
+    # the 1e4 range).
+    gnc_div: float = 0.0
 
 
 class PoseGraph(NamedTuple):

@@ -407,12 +407,41 @@ def extrapolate_pose_cov(cov6, dk, path_len, dxy, trans_var, rot_var):
 
 
 @geometry_precision
+def _loop_resid2(g: PoseGraph, poses):
+    """Squared whitened residual norm per between factor (no robust
+    reweighting) at ``poses`` — the GNC consistency measure."""
+    Ti = poses[g.bt_i]
+    Tj = poses[g.bt_j]
+    E = se3.compose(se3.inverse(g.bt_rel), se3.between(Ti, Tj))
+    r0 = se3.log(E)
+    rw = g.bt_sqrt_info * g.bt_valid[:, None] * r0
+    return jnp.sum(rw * rw, axis=-1)
+
+
+def _gnc_loop_weights(g: PoseGraph, cfg: PoseGraphConfig, poses, mu):
+    """Per-factor GNC-GM weights: 1 on the odometry chain, annealed
+    Geman-McClure on loop factors (see PoseGraphConfig.loop_gnc_barc)."""
+    rn2 = _loop_resid2(g, poses)
+    c2 = jnp.float32(cfg.loop_gnc_barc ** 2)
+    w = (mu * c2 / (rn2 + mu * c2)) ** 2
+    is_loop = jnp.abs(g.bt_i - g.bt_j) > 1
+    return jnp.where(is_loop & g.bt_valid, w, 1.0)
+
+
 def solve(g: PoseGraph, cfg: PoseGraphConfig, prior_pose=None):
     """Run the LM loop; returns the graph with optimized poses.
 
     Fully jittable (static trip counts). The reference's behavior of extra
     iSAM2 update rounds after a loop factor (`fast_lio_sam.cpp:504-509`) is
     subsumed by running `lm_iters` full re-linearizations per solve.
+
+    With ``cfg.loop_gnc_barc > 0`` the LM loop runs inside a GNC anneal:
+    ``gnc_stages`` outer stages, each fixing Geman-McClure loop weights at
+    the PREVIOUS stage's converged poses (stage 0: mu_0 large, all loops
+    fully weighted = the L2 consensus), running a full ``lm_iters`` LM
+    solve under those weights, then annealing mu toward 1. Judging the
+    weights only at stage-converged estimates is what separates GNC from
+    naive IRLS — mid-solve residuals reflect drift, not inconsistency.
     """
     if prior_pose is None:
         prior_pose = g.poses[0]
@@ -420,31 +449,66 @@ def solve(g: PoseGraph, cfg: PoseGraphConfig, prior_pose=None):
     # "auto" = PCG: measured faster than the dense factorization at every
     # graph size on both TPU and CPU (see PoseGraphConfig.linear_solver)
     use_dense = cfg.linear_solver == "dense"
+    use_gnc = cfg.loop_gnc_barc > 0.0
 
-    def lm_iter(carry, _):
-        poses, lam, cost = carry
-        gg = g._replace(poses=poses)
-        if use_dense:
-            dx = _dense_step(gg, cfg, prior_pose, lam)
-        else:
-            b, Hd, matvec = _linearize(gg, cfg, prior_pose)
-            dx = _pcg(matvec, b, Hd, lam, cfg.pcg_iters)
-        dx = dx * kf_mask
-        cand = se3.retract(poses, dx)
-        cand = jnp.where(g.kf_valid[:, None, None], cand, poses)
-        new_cost = graph_cost(g._replace(poses=cand), cfg, prior_pose)
-        accept = new_cost < cost
-        poses = jnp.where(accept, cand, poses)
-        cost = jnp.where(accept, new_cost, cost)
-        lam = jnp.where(accept, lam * cfg.lambda_down, lam * cfg.lambda_up)
-        lam = jnp.clip(lam, 1e-9, 1e6)
-        return (poses, lam, cost), cost
+    def lm_scan(gw, poses0):
+        """Full LM loop on (possibly reweighted) graph gw from poses0."""
 
-    cost0 = graph_cost(g, cfg, prior_pose)
-    (poses, _, cost), _ = jax.lax.scan(
-        lm_iter,
-        (g.poses, jnp.float32(cfg.lambda_init), cost0),
-        None,
-        length=cfg.lm_iters,
+        def lm_iter(carry, _):
+            poses, lam, cost = carry
+            gg = gw._replace(poses=poses)
+            if use_dense:
+                dx = _dense_step(gg, cfg, prior_pose, lam)
+            else:
+                b, Hd, matvec = _linearize(gg, cfg, prior_pose)
+                dx = _pcg(matvec, b, Hd, lam, cfg.pcg_iters)
+            dx = dx * kf_mask
+            cand = se3.retract(poses, dx)
+            cand = jnp.where(g.kf_valid[:, None, None], cand, poses)
+            new_cost = graph_cost(gw._replace(poses=cand), cfg, prior_pose)
+            accept = new_cost < cost
+            poses = jnp.where(accept, cand, poses)
+            cost = jnp.where(accept, new_cost, cost)
+            lam = jnp.where(accept, lam * cfg.lambda_down, lam * cfg.lambda_up)
+            lam = jnp.clip(lam, 1e-9, 1e6)
+            return (poses, lam, cost), cost
+
+        cost0 = graph_cost(gw._replace(poses=poses0), cfg, prior_pose)
+        (poses, _, cost), _ = jax.lax.scan(
+            lm_iter,
+            (poses0, jnp.float32(cfg.lambda_init), cost0),
+            None,
+            length=cfg.lm_iters,
+        )
+        return poses, cost
+
+    if not use_gnc:
+        poses, cost = lm_scan(g, g.poses)
+        return g._replace(poses=poses), cost
+
+    # mu_0 from the worst loop residual at the initial poses: the first
+    # surrogate is (near-)convex — every loop fully weighted, the solve
+    # finds the L2 consensus the weights are then judged against
+    rn2 = _loop_resid2(g, g.poses)
+    is_loop = (jnp.abs(g.bt_i - g.bt_j) > 1) & g.bt_valid
+    r2max = jnp.max(jnp.where(is_loop, rn2, 0.0))
+    mu0 = jnp.maximum(2.0 * r2max / jnp.float32(cfg.loop_gnc_barc ** 2), 1.0)
+    if cfg.gnc_div > 0.0:
+        gnc_div = jnp.float32(cfg.gnc_div)
+    else:  # auto: land on mu = 1 at the LAST stage
+        gnc_div = jnp.exp(
+            jnp.log(mu0) / jnp.float32(max(cfg.gnc_stages - 1, 1))
+        )
+
+    def gnc_stage(carry, _):
+        poses, mu = carry
+        sw = jnp.sqrt(_gnc_loop_weights(g, cfg, poses, mu))
+        gw = g._replace(bt_sqrt_info=g.bt_sqrt_info * sw[:, None])
+        poses, cost = lm_scan(gw, poses)
+        mu = jnp.maximum(mu / gnc_div, 1.0)
+        return (poses, mu), cost
+
+    (poses, _), costs = jax.lax.scan(
+        gnc_stage, (g.poses, mu0), None, length=cfg.gnc_stages
     )
-    return g._replace(poses=poses), cost
+    return g._replace(poses=poses), costs[-1]

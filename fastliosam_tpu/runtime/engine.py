@@ -69,6 +69,14 @@ class EngineConfig(NamedTuple):
     # skip GPS factors while the pose marginal covariance (x/y translation)
     # is already below this (fast_lio_sam.cpp:192-193, pose_cov_thres 0.02)
     pose_cov_thres: float = 0.02
+    # DELIBERATE DIVERGENCE — GPS fix motion compensation: the reference
+    # attaches the nearest-stamp fix as-is (queue scrub ±0.05 s,
+    # fast_lio_sam.cpp:198-209), so at 8 m/s up to 0.4 m of vehicle motion
+    # between fix time and keyframe time is folded straight into the
+    # factor. The fix measured p(t_fix); the factor constrains
+    # p(t_kf) ≈ p(t_fix) + v·(t_kf − t_fix) with v finite-differenced
+    # from the corrected realtime trajectory. False = reference-exact.
+    gps_motion_comp: bool = True
     # distance-triggered capture hook cadence in meters: the reference calls
     # the /save_image service every >=1 m traveled (fast_lio_sam.cpp:389-407).
     # 0 disables; assign `engine.capture_hook = fn(stamp, corrected_T)`.
@@ -114,7 +122,7 @@ class EngineConfig(NamedTuple):
         base = dict(
             keyframe_threshold=0.0, gps_anchor_warmup=1,
             gps_noise_floor=1.0, gps_dist_thres=5.0,
-            solve_per_keyframe=True,
+            solve_per_keyframe=True, gps_motion_comp=False,
         )
         base.update(overrides)
         return cls(**base)
@@ -951,6 +959,20 @@ class SlamEngine:
         for (ts, enu, noise) in buffered:
             self.gps_queue.append((ts, enu + self.gps_slam_offset, noise))
 
+    def _velocity_at(self, t: float) -> np.ndarray:
+        """World-frame velocity at time ``t``, finite-differenced from the
+        corrected realtime trajectory (used by GPS motion compensation)."""
+        st = self.scan_stamps
+        if len(st) < 2:
+            return np.zeros(3)
+        i = int(np.clip(np.searchsorted(st, t), 1, len(st) - 1))
+        dt = st[i] - st[i - 1]
+        if dt <= 1e-6:
+            return np.zeros(3)
+        return (
+            self.realtime_traj[i][:3, 3] - self.realtime_traj[i - 1][:3, 3]
+        ) / dt
+
     def _try_add_gps_factor(self, kf_idx, kf_stamp, corrected_T):
         cfg = self.cfg
         if self.traj_len < cfg.min_traj_len:  # :183-189
@@ -973,6 +995,11 @@ class SlamEngine:
             return
         if np.allclose(enu, 0.0):  # skip (0,0,0) (:236)
             return
+        if cfg.gps_motion_comp and abs(stamp - kf_stamp) > 1e-6:
+            # propagate the fix position to the keyframe stamp (see
+            # EngineConfig.gps_motion_comp) — the residual stamp mismatch
+            # otherwise folds v·Δt of real motion into the factor
+            enu = enu + self._velocity_at(kf_stamp) * (kf_stamp - stamp)
         if (
             self.last_gps_factor_pos is not None
             and np.linalg.norm(enu[:2] - self.last_gps_factor_pos[:2])

@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""r5 loop-trust sweep: measure the shipped longrun/rich configs against
+the `max_sqrt_info` information cap and (on the rich world) multistart
+ICP, with per-loop transform-error audits against ground truth.
+
+Motivation (DESIGN §2h, r5 oracle): the perfect-loop oracle reaches
+0.85 m keyframe ATE on the canyon circuit while the shipped pipeline
+scored 7-15 m, and per-loop audits showed accepted loops carrying metre
+error while their `fitness`-derived sqrt-info claimed ~10 cm sigma —
+the gap is overconfident loop information, not missing machinery.
+
+Usage: python scripts/exp_loop_trust.py [canyon|rich] [cap ...]
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import bench  # noqa: E402
+from fastliosam_tpu.io import KittiSequence  # noqa: E402
+from fastliosam_tpu.loop import LoopConfig  # noqa: E402
+from fastliosam_tpu.runtime.drivers import drive_kitti  # noqa: E402
+
+
+def loop_errors(engine, root):
+    """Per-accepted-loop translation/rotation error vs ground truth."""
+    seq = KittiSequence(root, "00")
+    gt = seq.gt_poses()
+    times = np.asarray(seq.times, np.float64)
+    n = engine.kf.n
+    kf_st = np.asarray(engine.kf.stamps[:n], np.float64)
+    scan_of_kf = np.clip(
+        np.round((kf_st - times[0]) / 0.1).astype(int), 0, len(times) - 1
+    )
+    Tgt = gt[scan_of_kf]
+    errs = []
+    for (qi, ci), rel in zip(engine.loop_pairs, engine.loop_rels):
+        rel_gt = np.linalg.inv(Tgt[qi]) @ Tgt[ci]
+        d = np.linalg.inv(rel) @ rel_gt
+        te = float(np.linalg.norm(d[:3, 3]))
+        ang = float(
+            np.degrees(np.arccos(np.clip((np.trace(d[:3, :3]) - 1) / 2,
+                                         -1, 1)))
+        )
+        errs.append((te, ang))
+    return errs
+
+
+def run(world: str, cap: float, multistart: int = 1, gnc: float = 0.0,
+        radius: float = None, time_gap: float = None):
+    if world == "rich":
+        root = bench.KITTI_RICH
+        bench._ensure_longrun_dataset(root, rich=True)
+        loop_cfg = LoopConfig(
+            radius=radius or 35.0, time_gap=time_gap or 30.0,
+            num_submap_keyframes=5,
+            voxel_res=0.3, submap_points=16384, max_sqrt_info=cap,
+            icp_multistart=multistart,
+        )
+    else:
+        root = bench.KITTI_SYNTH
+        bench._ensure_longrun_dataset(root)
+        loop_cfg = LoopConfig(
+            radius=radius or 10.0, time_gap=time_gap or 4.0,
+            num_submap_keyframes=5,
+            voxel_res=0.3, submap_points=16384, max_sqrt_info=cap,
+            icp_multistart=multistart,
+        )
+    engine = bench._make_longrun_engine(loop_cfg)
+    if gnc > 0.0:
+        engine.pgo_cfg = engine.pgo_cfg._replace(
+            loop_gnc_barc=gnc, lm_iters=8)
+        engine._build_programs()
+        engine.reset()
+    out = drive_kitti(engine, root, "00", scan_capacity=bench.RAW_PTS,
+                      chunk=5, progress=False)
+    errs = loop_errors(engine, root)
+    te = [e[0] for e in errs]
+    rec = {
+        "world": world, "cap": cap, "multistart": multistart, "gnc": gnc,
+        "radius": loop_cfg.radius,
+        "ate_m": out.get("ate_m"), "kf_ate_m": out.get("kf_ate_m"),
+        "rpe_1s_m": out.get("rpe_1s_m"), "n_loops": out["n_loops"],
+        "n_attempts": len(engine.loop_attempts),
+        "loop_te_med_m": round(float(np.median(te)), 3) if te else None,
+        "loop_te_max_m": round(float(np.max(te)), 3) if te else None,
+        "loop_te_p90_m": round(float(np.percentile(te, 90)), 3) if te else None,
+    }
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+if __name__ == "__main__":
+    # each spec: world,cap,gnc[,radius,time_gap]
+    specs = sys.argv[1:] or ["canyon,0.0,0.0"]
+    for spec in specs:
+        f = spec.split(",")
+        run(f[0], cap=float(f[1]), gnc=float(f[2]),
+            radius=float(f[3]) if len(f) > 3 else None,
+            time_gap=float(f[4]) if len(f) > 4 else None)

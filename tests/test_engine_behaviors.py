@@ -383,6 +383,51 @@ def test_gps_warmup_force_finalizes_on_finish():
     assert int(engine.graph.n_gps) >= 1, "flushed fixes must become factors"
 
 
+def test_gps_motion_compensation():
+    """A fix whose stamp precedes the keyframe stamp must be propagated to
+    the keyframe time by the local velocity (EngineConfig.gps_motion_comp):
+    at 2 m/s along +x a fix 0.04 s early constrains a point 0.08 m behind
+    the keyframe — uncompensated, that motion becomes factor error."""
+    engine = tiny_engine(
+        use_gps=True, min_traj_len=0.0, gps_dist_thres=0.0,
+        gps_time_tol=0.05,
+    )
+    engine.traj_len = 10.0
+    # synthesize a corrected realtime trajectory at 2 m/s along +x
+    v, dt = 2.0, 0.1
+    for k in range(8):
+        T = np.eye(4, dtype=np.float32)
+        T[0, 3] = v * k * dt
+        engine.realtime_traj.append(T)
+        engine.scan_stamps.append(k * dt)
+    kf_stamp = 0.5
+    fix_stamp = kf_stamp - 0.04
+    engine.gps_queue.append(
+        (fix_stamp, np.array([v * fix_stamp, 0.0, 0.0]),
+         np.array([0.5, 0.5, 0.5]))
+    )
+    engine._try_add_gps_factor(0, kf_stamp, np.eye(4, dtype=np.float32))
+    assert engine._n_gps_host == 1
+    z = np.asarray(engine.graph.gps_xyz[0])
+    np.testing.assert_allclose(z[0], v * kf_stamp, atol=1e-5)
+
+    # reference-exact mode must NOT compensate
+    engine2 = tiny_engine(
+        use_gps=True, min_traj_len=0.0, gps_dist_thres=0.0,
+        gps_time_tol=0.05, gps_motion_comp=False,
+    )
+    engine2.traj_len = 10.0
+    engine2.realtime_traj = list(engine.realtime_traj)
+    engine2.scan_stamps = list(engine.scan_stamps)
+    engine2.gps_queue.append(
+        (fix_stamp, np.array([v * fix_stamp, 0.0, 0.0]),
+         np.array([0.5, 0.5, 0.5]))
+    )
+    engine2._try_add_gps_factor(0, kf_stamp, np.eye(4, dtype=np.float32))
+    z2 = np.asarray(engine2.graph.gps_xyz[0])
+    np.testing.assert_allclose(z2[0], v * fix_stamp, atol=1e-5)
+
+
 def test_reference_exact_constructors():
     """reference_exact() must restore every documented divergence to the
     spec values (PARITY.md divergence audit, VERDICT r4 #5)."""
@@ -398,6 +443,7 @@ def test_reference_exact_constructors():
     assert ec.gps_anchor_warmup == 1  # first-fix anchoring
     assert ec.gps_noise_floor == 1.0  # fast_lio_sam.cpp:252
     assert ec.gps_dist_thres == 5.0  # config.yaml:29
+    assert not ec.gps_motion_comp  # fix attached as-is (cpp:198-209)
     assert ec.solve_per_keyframe  # fast_lio_sam.cpp:494-513
     # reference factor noise: Variances rad2=1e-4, m2=1e-2 -> sqrt info
     assert ec.odom_trans_sqrt_info == 10.0

@@ -397,3 +397,60 @@ def test_grow_preserves_solution(rng):
     np.testing.assert_allclose(
         np.asarray(s1.poses[:24]), np.asarray(s2.poses[:24]), atol=1e-5
     )
+
+
+def test_gnc_rejects_confident_wrong_loops(rng):
+    """GNC-GM on loop factors (PoseGraphConfig.loop_gnc_barc): two
+    mutually-inconsistent WRONG loops with confidently-tight claimed noise
+    (the canyon failure mode: ICP slides that score tiny fitness) must be
+    annealed out, while three consistent CORRECT loops survive and still
+    correct the odometry drift. Plain L2 must be visibly distorted by the
+    same graph — that is the defect GNC exists to fix."""
+    from fastliosam_tpu.pgo.solver import _gnc_loop_weights
+
+    gt = circle_poses(32)
+    g = build_noisy_chain(gt, rng, odom_noise=0.05, rot_noise=0.01)
+    # claimed noise in the max_sqrt_info-capped regime the engine feeds
+    # the solver (loop/closure.py): no loop claims better than ~0.5 m
+    capped = jnp.asarray([2.0] * 3 + [20.0] * 3, jnp.float32)
+    # three consistent correct loops
+    for i, j in ((31, 0), (24, 8), (28, 4)):
+        g = add_between(g, i, j, se3.between(gt[i], gt[j]), capped)
+    # two confident wrong loops: true rel composed with a 4 m lateral slide
+    slide = se3.exp(jnp.asarray([0.0, 0.0, 0.0, 4.0, 0.0, 0.0], jnp.float32))
+    for i, j in ((20, 2), (16, 30)):
+        g = add_between(
+            g, i, j, se3.compose(slide, se3.between(gt[i], gt[j])), capped
+        )
+    cfg_l2 = CFG._replace(lm_iters=16)
+    cfg_gnc = CFG._replace(lm_iters=12, loop_gnc_barc=2.0, gnc_stages=6)
+    g_l2, _ = solve(g, cfg_l2, prior_pose=gt[0])
+    g_gnc, _ = solve(g, cfg_gnc, prior_pose=gt[0])
+    err_l2 = pose_errors(g_l2, gt)
+    err_gnc = pose_errors(g_gnc, gt)
+    # L2 fuses the 4 m slides at claimed strength -> metre-scale distortion
+    assert err_l2.max() > 2.0, err_l2.max()
+    # GNC anneals them out; consistent loops keep correcting the drift
+    assert err_gnc.max() < 1.0, err_gnc.max()
+    assert err_gnc.max() < 0.25 * err_l2.max()
+    # final GM weights at mu=1: wrong loops dead, correct loops alive
+    w = np.asarray(_gnc_loop_weights(g, cfg_gnc, g_gnc.poses,
+                                     jnp.float32(1.0)))
+    n_bt = int(g.n_bt)
+    assert np.all(w[n_bt - 2:n_bt] < 0.05), w[n_bt - 2:n_bt]
+    assert np.all(w[n_bt - 5:n_bt - 2] > 0.3), w[n_bt - 5:n_bt - 2]
+
+
+def test_gnc_noop_without_outliers(rng):
+    """With only consistent loops, GNC must not reject anything — result
+    stays close to the plain-L2 solve."""
+    gt = circle_poses(24)
+    g = build_noisy_chain(gt, rng, odom_noise=0.05, rot_noise=0.01)
+    tight = jnp.asarray([30.0] * 3 + [300.0] * 3, jnp.float32)
+    for i, j in ((23, 0), (18, 6)):
+        g = add_between(g, i, j, se3.between(gt[i], gt[j]), tight)
+    cfg_l2 = CFG._replace(lm_iters=16)
+    g_l2, _ = solve(g, cfg_l2, prior_pose=gt[0])
+    g_gnc, _ = solve(g, cfg_l2._replace(loop_gnc_barc=1.0), prior_pose=gt[0])
+    err = np.abs(np.asarray(g_gnc.poses[:24]) - np.asarray(g_l2.poses[:24]))
+    assert err.max() < 0.05, err.max()
