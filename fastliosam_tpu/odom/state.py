@@ -32,6 +32,15 @@ class OdomConfig(NamedTuple):
     gyr_cov: float = 0.1
     b_acc_cov: float = 0.0001
     b_gyr_cov: float = 0.0001
+    # initial velocity variance (m²/s²). Counterintuitive measured result
+    # (r5, no-init rolling start at 1.26 m/s): a vehicle-scale "honest"
+    # prior (4.0) makes the no-init ATE WORSE (0.089 -> 0.104; 0.25 and
+    # 1.0 likewise ~0.12) — the first scans' corrections are contaminated
+    # by the v=0 deskew distortion of the seed map, and a wide prior dumps
+    # that contamination straight into the velocity state, while the tight
+    # prior low-passes it and lets the surfel map average the seed
+    # distortion out. Kept configurable for resume/handoff scenarios.
+    init_vel_cov: float = 0.01
     # iterated update
     max_iteration: int = 3  # kitti.launch:8
     point_cov: float = 0.001  # LASER_POINT_COV analog
@@ -137,7 +146,7 @@ def init_state(g_world=None, cfg: OdomConfig | None = None) -> NavState:
             [
                 jnp.full((3,), 1e-4),  # attitude
                 jnp.full((3,), 1e-8),  # position (anchored)
-                jnp.full((3,), 1e-2),  # velocity
+                jnp.full((3,), cfg.init_vel_cov),  # velocity
                 jnp.full((3,), 1e-4),  # bg
                 jnp.full((3,), 1e-3),  # ba
                 jnp.full((3,), 1e-4),  # gravity

@@ -53,7 +53,7 @@ def loop_errors(engine, root):
 
 
 def run(world: str, cap: float, multistart: int = 1, gnc: float = 0.0,
-        radius: float = None, time_gap: float = None):
+        radius: float = None, time_gap: float = None, thresh: float = 1.5):
     if world == "rich":
         root = bench.KITTI_RICH
         bench._ensure_longrun_dataset(root, rich=True)
@@ -61,7 +61,7 @@ def run(world: str, cap: float, multistart: int = 1, gnc: float = 0.0,
             radius=radius or 35.0, time_gap=time_gap or 30.0,
             num_submap_keyframes=5,
             voxel_res=0.3, submap_points=16384, max_sqrt_info=cap,
-            icp_multistart=multistart,
+            icp_multistart=multistart, icp_score_threshold=thresh,
         )
     else:
         root = bench.KITTI_SYNTH
@@ -70,7 +70,7 @@ def run(world: str, cap: float, multistart: int = 1, gnc: float = 0.0,
             radius=radius or 10.0, time_gap=time_gap or 4.0,
             num_submap_keyframes=5,
             voxel_res=0.3, submap_points=16384, max_sqrt_info=cap,
-            icp_multistart=multistart,
+            icp_multistart=multistart, icp_score_threshold=thresh,
         )
     engine = bench._make_longrun_engine(loop_cfg)
     if gnc > 0.0:
@@ -84,7 +84,7 @@ def run(world: str, cap: float, multistart: int = 1, gnc: float = 0.0,
     te = [e[0] for e in errs]
     rec = {
         "world": world, "cap": cap, "multistart": multistart, "gnc": gnc,
-        "radius": loop_cfg.radius,
+        "radius": loop_cfg.radius, "thresh": thresh,
         "ate_m": out.get("ate_m"), "kf_ate_m": out.get("kf_ate_m"),
         "rpe_1s_m": out.get("rpe_1s_m"), "n_loops": out["n_loops"],
         "n_attempts": len(engine.loop_attempts),
@@ -97,10 +97,12 @@ def run(world: str, cap: float, multistart: int = 1, gnc: float = 0.0,
 
 
 if __name__ == "__main__":
-    # each spec: world,cap,gnc[,radius,time_gap]
+    # each spec: world,cap,gnc[,radius,time_gap,thresh,multistart]
     specs = sys.argv[1:] or ["canyon,0.0,0.0"]
     for spec in specs:
         f = spec.split(",")
         run(f[0], cap=float(f[1]), gnc=float(f[2]),
             radius=float(f[3]) if len(f) > 3 else None,
-            time_gap=float(f[4]) if len(f) > 4 else None)
+            time_gap=float(f[4]) if len(f) > 4 else None,
+            thresh=float(f[5]) if len(f) > 5 else 1.5,
+            multistart=int(f[6]) if len(f) > 6 else 1)
