@@ -125,8 +125,21 @@ def solve_sharded(g: PoseGraph, cfg: PoseGraphConfig, mesh: Mesh, axis: str = "k
         is_loop = (jnp.abs(bt_i - bt_j) > 1) & bt_valid
 
         def loop_resid2(p):
-            rb, _, _ = _between_residuals(shard_graph(p))
-            return jnp.sum(rb * rb, axis=-1)
+            # chain-aware consistency residual (pgo.solver._loop_resid2)
+            Ti = p[bt_i]
+            Tj = p[bt_j]
+            E = se3.compose(se3.inverse(bt_rel), se3.between(Ti, Tj))
+            r0 = se3.log(E)
+            rt2 = jnp.sum(r0[:, :3] ** 2, axis=-1)
+            rr2 = jnp.sum(r0[:, 3:] ** 2, axis=-1)
+            d = jnp.abs(bt_i - bt_j).astype(jnp.float32)
+            si_t = jnp.mean(bt_sqrt_info[:, :3], axis=-1)
+            si_r = jnp.mean(bt_sqrt_info[:, 3:], axis=-1)
+            var_t = (1.0 / jnp.maximum(si_t, _EPS) ** 2
+                     + cfg.gnc_hop_trans_var * d)
+            var_r = (1.0 / jnp.maximum(si_r, _EPS) ** 2
+                     + cfg.gnc_hop_rot_var * d)
+            return (rt2 / var_t + rr2 / var_r) * bt_valid
 
         def gnc_bt_si(p, mu):
             if not use_gnc:

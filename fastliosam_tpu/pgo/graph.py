@@ -90,6 +90,15 @@ class PoseGraphConfig(NamedTuple):
     # (a fixed 1.4 never gets there when a confident slide puts mu_0 in
     # the 1e4 range).
     gnc_div: float = 0.0
+    # chain-aware GNC whitening (solver._loop_resid2): a loop spanning d
+    # keyframe hops is judged against sigma²_meas + d·sigma²_hop. These
+    # are the per-hop odometry drift variances — defaults match the
+    # reference's between-factor noise model (Variances m²=1e-2,
+    # rad²=1e-4, fast_lio_sam.cpp:471-474); set them to the feed's
+    # MEASURED drift rate when it differs (the canyon circuit's LiDAR-only
+    # drift is ~10x the reference model).
+    gnc_hop_trans_var: float = 0.01
+    gnc_hop_rot_var: float = 1e-4
 
 
 class PoseGraph(NamedTuple):

@@ -407,21 +407,35 @@ def extrapolate_pose_cov(cov6, dk, path_len, dxy, trans_var, rot_var):
 
 
 @geometry_precision
-def _loop_resid2(g: PoseGraph, poses):
-    """Squared whitened residual norm per between factor (no robust
-    reweighting) at ``poses`` — the GNC consistency measure."""
+def _loop_resid2(g: PoseGraph, cfg: PoseGraphConfig, poses):
+    """Chain-aware squared consistency residual per between factor at
+    ``poses`` — the GNC measure. A loop spanning d = |i-j| keyframe hops
+    is judged against sigma²_meas + d·sigma²_hop, NOT the factor's claimed
+    noise alone: a correct loop demanding an 8 m correction across a
+    900-hop drifted chain is ~what accumulated odometry uncertainty
+    predicts (plausible), while the same 8 m across 50 hops is a >10-sigma
+    outlier. Whitening only by the measurement noise mistakes every
+    correct FAR correction for an outlier — measured on the canyon
+    circuit: 3 accepted loops with 0.3 m true error, GNC killed them
+    mid-anneal and the half-bent chain scored 12.9 m (loop-free: 3.6)."""
     Ti = poses[g.bt_i]
     Tj = poses[g.bt_j]
     E = se3.compose(se3.inverse(g.bt_rel), se3.between(Ti, Tj))
-    r0 = se3.log(E)
-    rw = g.bt_sqrt_info * g.bt_valid[:, None] * r0
-    return jnp.sum(rw * rw, axis=-1)
+    r0 = se3.log(E)  # (F, 6) = [rho, theta]
+    rt2 = jnp.sum(r0[:, :3] ** 2, axis=-1)
+    rr2 = jnp.sum(r0[:, 3:] ** 2, axis=-1)
+    d = jnp.abs(g.bt_i - g.bt_j).astype(jnp.float32)
+    si_t = jnp.mean(g.bt_sqrt_info[:, :3], axis=-1)
+    si_r = jnp.mean(g.bt_sqrt_info[:, 3:], axis=-1)
+    var_t = 1.0 / jnp.maximum(si_t, _EPS) ** 2 + cfg.gnc_hop_trans_var * d
+    var_r = 1.0 / jnp.maximum(si_r, _EPS) ** 2 + cfg.gnc_hop_rot_var * d
+    return (rt2 / var_t + rr2 / var_r) * g.bt_valid
 
 
 def _gnc_loop_weights(g: PoseGraph, cfg: PoseGraphConfig, poses, mu):
     """Per-factor GNC-GM weights: 1 on the odometry chain, annealed
     Geman-McClure on loop factors (see PoseGraphConfig.loop_gnc_barc)."""
-    rn2 = _loop_resid2(g, poses)
+    rn2 = _loop_resid2(g, cfg, poses)
     c2 = jnp.float32(cfg.loop_gnc_barc ** 2)
     w = (mu * c2 / (rn2 + mu * c2)) ** 2
     is_loop = jnp.abs(g.bt_i - g.bt_j) > 1
@@ -489,7 +503,7 @@ def solve(g: PoseGraph, cfg: PoseGraphConfig, prior_pose=None):
     # mu_0 from the worst loop residual at the initial poses: the first
     # surrogate is (near-)convex — every loop fully weighted, the solve
     # finds the L2 consensus the weights are then judged against
-    rn2 = _loop_resid2(g, g.poses)
+    rn2 = _loop_resid2(g, cfg, g.poses)
     is_loop = (jnp.abs(g.bt_i - g.bt_j) > 1) & g.bt_valid
     r2max = jnp.max(jnp.where(is_loop, rn2, 0.0))
     mu0 = jnp.maximum(2.0 * r2max / jnp.float32(cfg.loop_gnc_barc ** 2), 1.0)

@@ -44,8 +44,12 @@ def test_sharded_solve_matches_single_device(rng):
 
 def test_sharded_solve_corrects_drift(rng):
     gt = circle_poses(32)
-    cfg = PoseGraphConfig(max_keyframes=64, max_between=128, max_gps=32,
-                          lm_iters=6, pcg_iters=64)
+    # SAME config as test_sharded_solve_matches_single_device: the jitted
+    # shard_map program is cached per (config, mesh, axis), so sharing the
+    # config makes this test reuse that compile (~150 s saved on the
+    # 2-core CPU box; the 8-device sharded LM+PCG is the single most
+    # expensive compile in the suite)
+    cfg = SH_CFG
     g = build_noisy_chain(gt, rng, odom_noise=0.05, rot_noise=0.01)
     rel = se3.between(gt[-1], gt[0])
     g = add_between(
