@@ -77,12 +77,14 @@ def run(world: str, cap: float, multistart: int = 1, gnc: float = 0.0,
         # hop variance at the circuit feeds' MEASURED LiDAR-only drift
         # rate (~6-8 m over ~700 hops -> ~0.1 m²/hop), not the reference's
         # 0.01 model (see PoseGraphConfig.gnc_hop_trans_var)
-        # pcg_iters ~ chain length: block-Jacobi PCG propagates a loop
-        # correction ~1 node per iteration along a chain graph — 64 iters
-        # on a 900-keyframe circuit applies the closure as a LOCAL kink
+        # NOTE pcg_iters stays at the default 64: a fully-converged linear
+        # stage (1024) measured WORSE (canyon 3.35 -> 4.15 at ms=1, and
+        # 35.5 at ms=5) — large instant corrections feed back into
+        # candidate generation/ICP inits mid-run and destabilize the
+        # accept pattern; the under-converged step acts as a damper, the
+        # event-driven re-solves finish the redistribution incrementally
         engine.pgo_cfg = engine.pgo_cfg._replace(
-            loop_gnc_barc=gnc, lm_iters=8, gnc_hop_trans_var=0.1,
-            pcg_iters=1024)
+            loop_gnc_barc=gnc, lm_iters=8, gnc_hop_trans_var=0.1)
         engine._build_programs()
         engine.reset()
     out = drive_kitti(engine, root, "00", scan_capacity=bench.RAW_PTS,
