@@ -602,19 +602,21 @@ def bench_gps_degraded(engine, feed, data):
     §2i)."""
     fixes = _fixes_from_data(data, degrade_middle=True)
     # robust options exercised here (the library defaults stay at
-    # reference fidelity): Huber GPS residuals + an HONEST odometry noise
+    # reference fidelity): Huber GPS residuals + a MEASURED odometry noise
     # model. The reference's Variances(m²=1e-2) says each keyframe hop is
-    # only good to 10 cm; this odometry is cm-accurate, so with the
-    # reference model 19 half-metre-noise fixes legally yank the chain by
-    # ~0.3 m (the r3 "regression" was exactly this model mismatch, not a
-    # bug). sqrt-info 50 = 2 cm per hop, measured-honest for this feed.
+    # only good to 10 cm; this odometry's actual per-hop drift on this
+    # feed is median 3.2 mm / p90 5.6 mm / max 7.3 mm over 1.26 m hops
+    # (scripts/exp_gps_noinit_probe.py, r5) — sqrt-info 200 = 5 mm/hop,
+    # the p90. With an overstated 2 cm model (r4's sqrt-info 50) eleven
+    # ~0.9 m-error fixes legally pulled the cm-accurate chain by ~3.5 cm
+    # (the least-squares optimum of wrong weights, not a bug).
     # All three are trace-baked: rebuild programs (chunk + solver
     # recompile; persistent cache catches reruns).
     engine.pgo_cfg = engine.pgo_cfg._replace(gps_huber_delta=2.0)
     old_cfg = engine.cfg
     engine.cfg = engine.cfg._replace(
         use_gps=True, gps_dist_thres=2.0,
-        odom_trans_sqrt_info=50.0, odom_rot_sqrt_info=1000.0,
+        odom_trans_sqrt_info=200.0, odom_rot_sqrt_info=1000.0,
     )
     engine._build_programs()
     ates = []
